@@ -210,7 +210,9 @@ class DeviceRef:
 
                 real, imag = F32(re_tmp), F32(im_tmp)
                 ch.iq_in[j - A] = np.complex64(complex(real, imag))
-                ch.wavein[j] = F32(np.sqrt(np.float64(real) * np.float64(real) + np.float64(imag) * np.float64(imag)))
+                # f32 sqrt (C++ uses double sqrt then narrows; <=1ulp apart,
+                # kept f32 here so the JAX kernel can match bit-for-bit)
+                ch.wavein[j] = np.sqrt(real * real + imag * imag)
 
                 if ch.lowpass.enabled:
                     sq.process_filtered_sample(ch.wavein[j])
@@ -293,9 +295,11 @@ class ChannelizerRef:
         for g in range(n_frames):
             frame = x[g * hop : g * hop + N] * self.window
             X = np.fft.fft(frame.astype(np.complex64))
-            sel = X[self.bins]
-            iqs[:, g] = sel.astype(np.complex64)
-            mags[:, g] = np.abs(sel).astype(F32)
+            sel = X[self.bins].astype(np.complex64)
+            iqs[:, g] = sel
+            # plain sqrt(re^2+im^2) in f32 (reference: rtl_airband.cpp:475,
+            # sqrtf, not hypot)
+            mags[:, g] = np.sqrt(sel.real * sel.real + sel.imag * sel.imag)
         self._pending = x[n_frames * hop :]
         return mags, iqs
 

@@ -1,12 +1,17 @@
 """Test configuration: force JAX onto a virtual 8-device CPU mesh.
 
-Sharding semantics are validated on CPU (no TPU pod needed); bench.py runs on
-real TPU hardware separately.
+The surrounding environment pins JAX_PLATFORMS=axon (the TPU tunnel), and jax
+ignores a plain env-var override here, so the platform is forced via
+jax.config.  Sharding semantics are validated on the 8-device CPU mesh;
+bench.py runs on the real TPU chip separately.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
