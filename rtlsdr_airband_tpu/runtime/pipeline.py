@@ -1,0 +1,176 @@
+"""Streaming block pipeline: raw IQ in → per-channel audio blocks out.
+
+Replaces the reference's demodulate() thread + ring-buffer protocol
+(reference: src/rtl_airband.cpp:286-672) with a stateless-jitted block
+function ``(raw_block, bins, params, state) -> (state', outputs)`` plus a
+host-side framer that carries stream alignment between blocks.
+
+Block structure (all sizes static per pipeline):
+ - one block emits WAVE_BATCH = wave_rate/8 audio samples per channel
+   (reference: rtl_airband.h:73);
+ - the channelizer consumes hop = round(sample_rate/wave_rate) input samples
+   per audio sample with an fft_size-hop look-ahead halo
+   (reference: rtl_airband.cpp:394);
+ - a one-time priming step computes the first AGC_EXTRA channelizer outputs
+   to seed the demod look-back delay lines (the reference fills buffer
+   indices [0, AGC_EXTRA) before the loop reads j >= AGC_EXTRA).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Iterator
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..constants import AGC_EXTRA
+from ..ops.channelizer import (
+    block_input_len,
+    channelize_fft,
+    channelize_matmul,
+    last_frame_spectrum_power,
+)
+from ..ops.demod import ChannelParams, DemodState, demod_block
+from ..ops.params import ChannelSpec, init_demod_state, make_channel_params
+from ..ops.window import blackman_harris_7
+from ..refmodel.channel_ref import bin_for_freq
+
+
+@partial(jax.jit, static_argnames=("hop", "fft_size", "n_frames", "use_fft"))
+def channelize_block(x, bins, window, *, hop, fft_size, n_frames, use_fft=False):
+    chan = channelize_fft if use_fft else channelize_matmul
+    return chan(x, bins, window, hop=hop, fft_size=fft_size, n_frames=n_frames)
+
+
+@partial(jax.jit, static_argnames=("hop", "fft_size", "n_frames", "use_fft", "fm_quadri", "with_ctcss", "with_afc"))
+def pipeline_block(
+    x: jax.Array,  # [L] complex64 baseband slice for this block
+    bins: jax.Array,  # [C] int32 FFT bin per channel
+    window: jax.Array,  # [N] f32
+    params: ChannelParams,
+    state: DemodState,
+    *,
+    hop: int,
+    fft_size: int,
+    n_frames: int,
+    use_fft: bool = False,
+    fm_quadri: bool = False,
+    with_ctcss: bool = True,
+    with_afc: bool = False,
+):
+    """Fused channelize + demod for one block (the whole device program)."""
+    chan = channelize_fft if use_fft else channelize_matmul
+    mags, iqs = chan(x, bins, window, hop=hop, fft_size=fft_size, n_frames=n_frames)
+    state, audio, iq_out, open_flags = demod_block(params, state, mags, iqs, fm_quadri=fm_quadri, with_ctcss=with_ctcss)
+    out = dict(
+        audio=audio,  # [W, C]
+        iq_out=iq_out,  # [W, C] complex64
+        open_flags=open_flags,  # [W, C] bool
+        active=jnp.any(open_flags, axis=0),  # [C]
+        signal_level=state.pre_full,
+        noise_level=state.noise_floor,
+    )
+    if with_afc:
+        out["spectrum_power"] = last_frame_spectrum_power(x, window, hop=hop, fft_size=fft_size, n_frames=n_frames)
+    return state, out
+
+
+@dataclass
+class PipelineConfig:
+    sample_rate: int = 2_560_000
+    center_freq: int = 120_000_000
+    fft_size: int = 512
+    wave_rate: int = 8000
+    sample_format: str = "f32c"  # 'u8' | 's8' | 's16' | 'f32' | 'f32c' (complex64 in)
+    fullscale: float = 1.0
+    channelizer: str = "matmul"  # 'matmul' | 'fft'
+    fm_quadri: bool = False
+
+    @property
+    def hop(self) -> int:
+        return int(round(self.sample_rate / self.wave_rate))
+
+    @property
+    def wave_batch(self) -> int:
+        return self.wave_rate // 8
+
+
+class Pipeline:
+    """One device's streaming channelizer + demod pipeline."""
+
+    def __init__(self, cfg: PipelineConfig, specs: list[ChannelSpec]):
+        self.cfg = cfg
+        self.specs = specs
+        self.C = len(specs)
+        self.W = cfg.wave_batch
+        self.A = AGC_EXTRA
+        self.hop = cfg.hop
+        self.N = cfg.fft_size
+        self.window = jnp.asarray(blackman_harris_7(self.N))
+        self.params = make_channel_params(
+            specs, wave_rate=cfg.wave_rate, sample_rate=cfg.sample_rate, center_freq=cfg.center_freq, fft_size=cfg.fft_size
+        )
+        # FFT bin per channel (reference: config.cpp:661-664); mutable for AFC/scan
+        self.base_bins = np.array(
+            [bin_for_freq(s.frequency, cfg.center_freq, cfg.sample_rate, cfg.fft_size) for s in specs], np.int32
+        )
+        self.bins = jnp.asarray(self.base_bins)
+        self.any_ctcss = bool(any(s.ctcss > 0 for s in specs))
+        self.any_afc = bool(any(s.afc for s in specs))
+
+        self._pending = np.zeros(0, np.complex64)
+        self._primed = False
+        self.state: DemodState | None = None
+        self.blocks_processed = 0
+
+        self._prime_len = (self.A - 1) * self.hop + self.N
+        self._block_need = self.W * self.hop  # new samples consumed per block
+        self._block_len = block_input_len(self.W, self.hop, self.N)
+
+    # ----------------------------------------------------------------- host
+
+    def _decode(self, raw) -> np.ndarray:
+        if self.cfg.sample_format == "f32c":
+            return np.asarray(raw, np.complex64)
+        from ..ops.sampleconv import SampleFormat, decode_iq, iq_to_complex
+
+        return iq_to_complex(decode_iq(raw, SampleFormat(self.cfg.sample_format), self.cfg.fullscale))
+
+    def feed(self, raw) -> Iterator[dict]:
+        """Feed IQ (complex64 array, or raw bytes in the configured sample
+        format).  Yields one result dict per completed block."""
+        x = self._decode(raw)
+        self._pending = np.concatenate([self._pending, x]) if self._pending.size else x
+
+        if not self._primed:
+            if self._pending.size < self._prime_len:
+                return
+            mags, iqs = channelize_block(
+                jnp.asarray(self._pending[: self._prime_len]), self.bins, self.window,
+                hop=self.hop, fft_size=self.N, n_frames=self.A, use_fft=self.cfg.channelizer == "fft",
+            )
+            self.state = init_demod_state(self.C, mags, iqs)
+            self._pending = self._pending[self.A * self.hop :]
+            self._primed = True
+
+        while self._pending.size >= self._block_len:
+            xb = jnp.asarray(self._pending[: self._block_len])
+            self.state, out = pipeline_block(
+                xb, self.bins, self.window, self.params, self.state,
+                hop=self.hop, fft_size=self.N, n_frames=self.W,
+                use_fft=self.cfg.channelizer == "fft", fm_quadri=self.cfg.fm_quadri,
+                with_ctcss=self.any_ctcss, with_afc=self.any_afc,
+            )
+            self._pending = self._pending[self._block_need :]
+            self.blocks_processed += 1
+            yield out
+
+    # ------------------------------------------------------------ mutation
+
+    def set_bins(self, bins) -> None:
+        """AFC / scan retune: move channels to new FFT bins (cheap — DFT taps
+        are recomputed in-jit from the bins array, no host rebuild)."""
+        self.bins = jnp.asarray(np.asarray(bins, np.int32))

@@ -135,14 +135,20 @@ class TestCTCSSRef:
         from rtlsdr_airband_tpu.ops.goertzel import STANDARD_TONES
 
         window = int(WAVE_RATE * 0.4)
+        # reference test_ctcss.cpp:66-110 semantics: a detector must fire for
+        # its own tone and reject all tones >= 5 Hz away; detectors within
+        # +/-5 Hz of the input tone (other than the exact target) are skipped
+        # (the reference makes no assertion about them).
         for target in STANDARD_TONES[::10]:
             det = CTCSSRef(float(target), WAVE_RATE, window)
             for tone in STANDARD_TONES:
+                if abs(target - tone) < 5 and target != tone:
+                    continue
                 det.reset()
                 audio = SignalGen(WAVE_RATE).add_tone(float(tone), 0.3).add_noise(0.05).render(window + 10)
                 for s in audio:
                     det.process_audio_sample(s)
-                expect = abs(target - tone) < 5
+                expect = target == tone
                 assert det.has_tone == expect, f"target={target} tone={tone}"
 
 
