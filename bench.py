@@ -20,6 +20,10 @@ import numpy as np
 def main() -> int:
     import jax
 
+    from rtlsdr_airband_tpu.utils.jaxcache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     from rtlsdr_airband_tpu.models.flagship import build_flagship
     from rtlsdr_airband_tpu.runtime.pipeline import pipeline_block
 

@@ -1,0 +1,391 @@
+"""Application orchestrator: config -> inputs -> pipelines -> outputs.
+
+The analog of the reference's main() wiring + thread topology
+(reference: src/rtl_airband.cpp:701-1164): instead of demod/output/mixer
+threads synchronized by condvars, each device runs an input driver thread
+feeding a ring buffer, and the single app loop drains every device's ring
+into its jitted TPU pipeline at block cadence, fanning each block's audio
+out to the per-channel output sets, mixers, stats, scan controllers and AFC
+trackers.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from .constants import AGC_EXTRA
+from .inputs.base import Input, InputState, input_new
+from .logutil import LOG_INFO, LOG_NOTICE, LOG_WARNING, log
+from .ops.levels import level_to_dbfs
+from .outputs.dispatch import OutputSet, TagQueue
+from .outputs.filemgr import FileOutput
+from .outputs.icecast import IcecastOutput
+from .outputs.pulse import PulseOutput
+from .outputs.stats import DeviceStats, FreqStats, MixerStats, StatsWriter
+from .outputs.udp import UdpStreamOutput
+from .runtime.config import DeviceConfig, GlobalConfig, OutputConfig
+from .runtime.control import AFCTracker, ScanController
+from .runtime.mixer import Mixer
+from .runtime.pipeline import Pipeline, PipelineConfig
+
+OUTPUT_CHECK_PERIOD_SEC = 10.0  # reference: output_check_thread (output.cpp:936)
+
+
+def _build_output_set(outputs: list[OutputConfig], wave_rate: int, mixers: dict[str, Mixer], highpass: int, lowpass: int, stereo: bool = False) -> OutputSet:
+    need_mp3 = any(o.type == "icecast" for o in outputs)
+    oset = OutputSet(wave_rate, stereo=stereo, need_mp3=need_mp3, highpass=highpass, lowpass=lowpass)
+    for o in outputs:
+        if not o.enabled:
+            continue
+        if o.type == "icecast":
+            ice = IcecastOutput(
+                o.server, o.port, o.mountpoint, o.username, o.password,
+                name=o.name, genre=o.genre, description=o.description,
+                send_scan_freq_tags=o.send_scan_freq_tags,
+            )
+            oset.icecasts.append(ice)
+        elif o.type in ("file", "rawfile"):
+            fo = FileOutput(
+                basedir=o.directory,
+                basename=o.filename_template,
+                wave_rate=wave_rate,
+                encoder_kind="auto" if o.type == "file" else "raw",
+                stereo=stereo,
+                continuous=o.continuous,
+                append=o.append,
+                split_on_transmission=o.split_on_transmission,
+                include_freq=o.include_freq,
+                dated_subdirectories=o.dated_subdirectories,
+                is_iq=o.type == "rawfile",
+            )
+            (oset.iq_files if o.type == "rawfile" else oset.files).append(fo)
+        elif o.type == "udp_stream":
+            oset.udps.append(UdpStreamOutput(o.dest_address, o.dest_port, stereo=stereo))
+        elif o.type == "pulse":
+            p = PulseOutput(wave_rate, stereo=stereo, sink=o.sink or None, stream_name=o.stream_name or "rtlsdr-airband-tpu")
+            if p.available:
+                oset.pulses.append(p)
+            else:
+                log(LOG_WARNING, "pulse output unavailable (libpulse-simple not found) — dropping")
+        elif o.type == "mixer":
+            m = mixers.get(o.name)
+            if m is None:
+                raise ValueError(f"mixer {o.name!r} not defined")
+            idx = m.connect_input(o.ampfactor, o.balance)
+            oset.mixer_feeds.append((m, idx))
+    return oset
+
+
+@dataclass
+class ChannelRuntime:
+    spec_source: object  # ChannelConfig
+    outputs: OutputSet
+    freq_idx: int = 0
+    afc: AFCTracker | None = None
+    stats: FreqStats | None = None
+    last_open: bool = False
+
+
+@dataclass
+class DeviceRuntime:
+    cfg: DeviceConfig
+    input: Input
+    pipeline: Pipeline
+    channels: list[ChannelRuntime]
+    scan: ScanController | None = None
+    stats: DeviceStats | None = None
+    alive: bool = True
+    bytes_per_block: int = 0
+    _prime_need: int = 0
+    indicators: list[str] = field(default_factory=list)
+
+
+class App:
+    def __init__(self, cfg: GlobalConfig, fm_quadri: bool = False, tui: bool = False, clock=time.time):
+        self.cfg = cfg
+        self.tui = tui
+        self._clock = clock
+        self.wave_rate = cfg.resolved_wave_rate()
+        self.do_exit = False
+        self._last_output_check = 0.0
+
+        # mixers first (reference: parse_mixers before parse_devices)
+        self.mixers: dict[str, Mixer] = {}
+        self.mixer_outputs: dict[str, OutputSet] = {}
+        wave_batch = self.wave_rate // 8
+        for name, mcfg in cfg.mixers.items():
+            m = Mixer(name, wave_batch)
+            self.mixers[name] = m
+            self.mixer_outputs[name] = _build_output_set(mcfg.outputs, self.wave_rate, self.mixers, 100, 2500)
+
+        self.devices: list[DeviceRuntime] = []
+        for di, d in enumerate(cfg.devices):
+            if d.disable:
+                continue
+            self.devices.append(self._build_device(di, d, fm_quadri))
+
+        self.stats_writer = StatsWriter(cfg.stats_filepath, cfg.fft_size, clock=clock) if cfg.stats_filepath else None
+
+    # ------------------------------------------------------------------ build
+
+    def _build_device(self, di: int, d: DeviceConfig, fm_quadri: bool) -> DeviceRuntime:
+        scan_mode = d.mode == "scan"
+        # scan mode: single channel, tune to freqs[0] with DC-dodge offset
+        specs = []
+        chrts = []
+        dev_stats = DeviceStats(index=di)
+        for ch in d.channels:
+            spec = ch.spec_for(0)
+            specs.append(spec)
+            oset = _build_output_set(ch.outputs, self.wave_rate, self.mixers, ch.highpass, ch.lowpass)
+            fstats = [
+                FreqStats(frequency=f.frequency, label=f.label) for f in ch.freqs
+            ]
+            dev_stats.freqs.extend(fstats)
+            chrts.append(ChannelRuntime(spec_source=ch, outputs=oset, stats=fstats))
+
+        scan = None
+        centerfreq = d.centerfreq
+        if scan_mode:
+            ch0 = d.channels[0]
+            scan = ScanController(
+                [f.frequency for f in ch0.freqs],
+                [f.label for f in ch0.freqs],
+                d.sample_rate,
+                self.cfg.fft_size,
+                clock=self._clock,
+                log_scan_activity=self.cfg.log_scan_activity,
+                logger=lambda m: log(LOG_INFO, m),
+            )
+            centerfreq = scan.center_for(ch0.freqs[0].frequency)
+
+        pcfg = PipelineConfig(
+            sample_rate=d.sample_rate,
+            center_freq=centerfreq,
+            fft_size=self.cfg.fft_size,
+            wave_rate=self.wave_rate,
+            sample_format=d.sample_format,
+            fullscale=d.fullscale if d.fullscale is not None else {"u8": 127.5, "s8": 127.5, "s16": 32768.0, "f32": 1.0}.get(d.sample_format, 1.0),
+            fm_quadri=fm_quadri,
+        )
+        pipeline = Pipeline(pcfg, specs)
+
+        for ci, (ch, chrt) in enumerate(zip(d.channels, chrts)):
+            if ch.afc:
+                chrt.afc = AFCTracker(base_bin=int(pipeline.base_bins[ci]), afc=ch.afc, fft_size=self.cfg.fft_size)
+
+        if d.type == "file":
+            inp = input_new(
+                "file",
+                filepath=d.filepath,
+                sample_rate=d.sample_rate,
+                centerfreq=centerfreq,
+                sample_format=d.sample_format,
+                speedup_factor=d.speedup_factor,
+                fullscale=d.fullscale,
+            )
+        else:
+            kwargs = dict(sample_rate=d.sample_rate, centerfreq=centerfreq, gain=d.gain, correction=d.correction)
+            if d.serial:
+                kwargs["serial"] = d.serial
+            elif d.type in ("rtlsdr", "mirisdr"):
+                kwargs["index"] = d.index
+            inp = input_new(d.type, **kwargs)
+
+        rt = DeviceRuntime(cfg=d, input=inp, pipeline=pipeline, channels=chrts, scan=scan, stats=dev_stats)
+        rt.bytes_per_block = pipeline._block_need * inp.bytes_per_sample
+        rt.indicators = [" "] * len(chrts)
+        return rt
+
+    # -------------------------------------------------------------------- run
+
+    def start(self) -> None:
+        for rt in self.devices:
+            rt.input.init()
+            rt.input.start()
+        log(LOG_NOTICE, f"started {len(self.devices)} device(s), wave_rate={self.wave_rate}")
+
+    def stop(self) -> None:
+        self.do_exit = True
+        for rt in self.devices:
+            rt.input.stop()
+        for rt in self.devices:
+            for chrt in rt.channels:
+                chrt.outputs.close()
+        for name, oset in self.mixer_outputs.items():
+            oset.close()
+        log(LOG_NOTICE, "shutdown complete")
+
+    def run(self, max_seconds: float | None = None) -> None:
+        """Main loop: drain inputs, process blocks, service mixers/outputs.
+        Exits when all inputs die (reference: rtl_airband.cpp:377-391) or
+        ``do_exit`` is set (signal handlers)."""
+        self.start()
+        t_start = self._clock()
+        try:
+            while not self.do_exit:
+                worked = self._service_once()
+                if max_seconds is not None and self._clock() - t_start > max_seconds:
+                    break
+                if not any(rt.alive for rt in self.devices):
+                    log(LOG_NOTICE, "all devices failed/stopped — exiting")
+                    break
+                if not worked:
+                    time.sleep(0.005)
+        finally:
+            self.stop()
+
+    def _service_once(self) -> bool:
+        worked = False
+        for rt in self.devices:
+            if not rt.alive:
+                continue
+            if rt.input.state == InputState.FAILED and rt.input.available_bytes() < rt.bytes_per_block:
+                # device dead: disable its outputs (reference: rtl_airband.cpp:377-391)
+                rt.alive = False
+                log(LOG_NOTICE, f"device {rt.stats.index}: input failed — disabling outputs")
+                for chrt in rt.channels:
+                    for m, idx in chrt.outputs.mixer_feeds:
+                        m.disable_input(idx)
+                continue
+            raw = rt.input.read_bytes(rt.bytes_per_block)
+            if raw is None:
+                continue
+            worked = True
+            for out in rt.pipeline.feed(raw):
+                self._handle_block(rt, out)
+        self._service_mixers()
+        self._service_outputs_check()
+        if self.stats_writer is not None:
+            self.stats_writer.maybe_write(
+                [rt.stats for rt in self.devices],
+                [MixerStats(name=n, output_overrun_count=m.output_overrun_count, input_overrun_counts=[i.overrun_count for i in m.inputs]) for n, m in self.mixers.items()],
+            )
+        return worked
+
+    # ---------------------------------------------------------------- blocks
+
+    def _handle_block(self, rt: DeviceRuntime, out: dict) -> None:
+        audio = np.asarray(out["audio"])  # [W, C]
+        active = np.asarray(out["active"])  # [C]
+        signal_level = np.asarray(out["signal_level"])
+        noise_level = np.asarray(out["noise_level"])
+        st = rt.pipeline.state
+        open_counts = np.asarray(st.open_count)
+        flappy_counts = np.asarray(st.flappy_count)
+        ctcss_found = np.asarray(st.slow.found)
+        ctcss_not_found = np.asarray(st.slow.not_found)
+        iq_out = None
+        if "iq_out" in out:
+            pairs = np.asarray(out["iq_out"])  # [W, C, 2] f32
+            iq_out = (pairs[..., 0] + 1j * pairs[..., 1]).astype(np.complex64)
+        spectrum = np.asarray(out["spectrum_power"]) if "spectrum_power" in out else None
+
+        scan_freq_changed = None
+        new_bins = None
+        for ci, chrt in enumerate(rt.channels):
+            is_open = bool(active[ci])
+            fs = chrt.stats[chrt.freq_idx]
+            fs.noise_level = float(noise_level[ci])
+            fs.signal_level = float(signal_level[ci])
+            fs.squelch_open_count = int(open_counts[ci])
+            fs.flappy_count = int(flappy_counts[ci])
+            fs.ctcss_count = int(ctcss_found[ci])
+            fs.no_ctcss_count = int(ctcss_not_found[ci])
+            if is_open:
+                fs.activity_count += 1
+
+            # scan-mode metadata tag (channel 0 of scan devices)
+            scan_tag = None
+            if rt.scan is not None and ci == 0:
+                q = rt.scan.tag_queue
+                idx = q.get(self.cfg.shout_metadata_delay)
+                if idx is not None:
+                    f = rt.scan.st.freqs[idx]
+                    label = rt.scan.st.labels[idx]
+                    scan_tag = f"{f / 1e6:.3f} MHz" + (f" {label}" if label else "")
+                    q.advance()
+
+            chrt.outputs.process(
+                audio[:, ci],
+                iq=iq_out[:, ci] if iq_out is not None else None,
+                has_signal=is_open,
+                frequency=chrt.spec_source.freqs[chrt.freq_idx].frequency,
+                scan_tag=scan_tag,
+            )
+
+            if chrt.afc is not None:
+                b = chrt.afc.finalize(is_open, spectrum)
+                if new_bins is None:
+                    new_bins = np.array(rt.pipeline.base_bins)
+                new_bins[ci] = b
+                rt.indicators[ci] = chrt.afc.indicator
+            else:
+                rt.indicators[ci] = "*" if is_open else " "
+            chrt.last_open = is_open
+
+        if new_bins is not None and not np.array_equal(new_bins, np.asarray(rt.pipeline.bins)):
+            rt.pipeline.set_bins(new_bins)
+
+        if rt.scan is not None:
+            new_center = rt.scan.tick(bool(active[0]))
+            if new_center is not None:
+                scan_freq_changed = new_center
+        if scan_freq_changed is not None:
+            self._retune_scan(rt, scan_freq_changed)
+
+        if self.tui:
+            self._draw_tui()
+
+    def _retune_scan(self, rt: DeviceRuntime, new_center: int) -> None:
+        """reference: controller_thread hop (rtl_airband.cpp:112-123)."""
+        sc = rt.scan
+        ch0 = rt.channels[0]
+        ch0.freq_idx = sc.st.freq_idx
+        specs = [c.spec_source.spec_for(c.freq_idx if i == 0 else 0) for i, c in enumerate(rt.channels)]
+        rt.input.set_centerfreq(new_center)
+        rt.pipeline.retune(specs, center_freq=new_center)
+
+    # ---------------------------------------------------------- housekeeping
+
+    def _service_mixers(self) -> None:
+        for name, m in self.mixers.items():
+            out = m.poll()
+            if out is None:
+                continue
+            oset = self.mixer_outputs[name]
+            if m.stereo:
+                oset.stereo = True
+                oset.process(out[:, 0], audio_r=out[:, 1], has_signal=getattr(m, "has_signal", True))
+            else:
+                oset.process(out, has_signal=getattr(m, "has_signal", True))
+            m.output_consumed()
+
+    def _service_outputs_check(self) -> None:
+        now = self._clock()
+        if now - self._last_output_check < OUTPUT_CHECK_PERIOD_SEC:
+            return
+        self._last_output_check = now
+        for rt in self.devices:
+            for chrt in rt.channels:
+                chrt.outputs.check_reconnect()
+        for oset in self.mixer_outputs.values():
+            oset.check_reconnect()
+
+    # -------------------------------------------------------------------- tui
+
+    def _draw_tui(self) -> None:
+        """ANSI status grid (reference: rtl_airband.cpp:632-643, 1033-1048)."""
+        lines = ["\x1b[H\x1b[2J=== rtlsdr-airband-tpu ==="]
+        for rt in self.devices:
+            lines.append(f"device {rt.stats.index} [{rt.cfg.type}] center={rt.pipeline.cfg.center_freq / 1e6:.3f} MHz")
+            for ci, chrt in enumerate(rt.channels):
+                f = chrt.spec_source.freqs[chrt.freq_idx]
+                fs = chrt.stats[chrt.freq_idx]
+                sig = level_to_dbfs(max(fs.signal_level, 1e-30), self.cfg.fft_size)
+                nf = level_to_dbfs(max(fs.noise_level, 1e-30), self.cfg.fft_size)
+                lines.append(f"  {f.frequency / 1e6:9.4f} MHz [{rt.indicators[ci]}] sig {sig:7.1f} dBFS  noise {nf:7.1f} dBFS  {f.label or ''}")
+        print("\n".join(lines), flush=True)

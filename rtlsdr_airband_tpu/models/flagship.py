@@ -52,12 +52,12 @@ def build_flagship(n_channels: int = 64, *, wave_batch: int | None = None, sampl
     # synthetic priming state + input block
     rng = np.random.default_rng(seed)
     prime_mags = jnp.asarray(np.abs(rng.normal(0, 1.0, (A, C))).astype(np.float32))
-    prime_iqs = jnp.asarray((rng.normal(0, 0.5, (A, C)) + 1j * rng.normal(0, 0.5, (A, C))).astype(np.complex64))
+    prime_iqs = jnp.asarray(rng.normal(0, 0.5, (A, C, 2)).astype(np.float32))
     state = init_demod_state(C, prime_mags, prime_iqs)
 
     L = (W - 1) * hop + fft_size
-    x = am_carrier_iq(sample_rate, 400_000, L, carrier_ampl=0.4) + complex_noise(L, 0.02, seed)
-    x = jnp.asarray(x.astype(np.complex64))
+    z = am_carrier_iq(sample_rate, 400_000, L, carrier_ampl=0.4) + complex_noise(L, 0.02, seed)
+    x = jnp.asarray(np.stack([z.real, z.imag], axis=-1).astype(np.float32))
 
     block_kwargs = dict(hop=hop, fft_size=fft_size, n_frames=W, use_fft=False, fm_quadri=False, with_ctcss=True, with_afc=False)
     return block_kwargs, (x, bins, window, params, state)

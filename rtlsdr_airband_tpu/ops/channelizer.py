@@ -16,6 +16,12 @@ operation over a whole block of frames.  Two equivalent kernels:
 
 Frames are built with static slice+concat (no gather): the input block is
 viewed as [n_frames(+q), hop] rows and q row-shifted copies are concatenated.
+
+IQ REPRESENTATION: complex values cross every jit boundary as float32 arrays
+with a trailing dimension of 2 (..., [re, im]).  The axon TPU runtime cannot
+transfer complex64 buffers host<->device (UNIMPLEMENTED), and split real
+arithmetic is also what the MXU wants — complex dtypes only ever appear
+transiently inside a jitted program (e.g. around jnp.fft.fft).
 """
 
 from __future__ import annotations
@@ -33,12 +39,17 @@ def block_input_len(n_frames: int, hop: int, fft_size: int) -> int:
 
 
 def make_frames(x: jax.Array, hop: int, fft_size: int, n_frames: int) -> jax.Array:
-    """[L] complex -> [n_frames, fft_size] overlapped frames, frame g starting
-    at g*hop.  Built from q = ceil(N/hop) shifted strided views; no gather."""
+    """[L, ...] -> [n_frames, fft_size, ...] overlapped frames, frame g
+    starting at g*hop.  Built from q = ceil(N/hop) shifted strided views; no
+    gather.  Trailing dims (e.g. the IQ pair dim) pass through."""
     q = -(-fft_size // hop)  # ceil
     need = (n_frames + q) * hop
-    x = jnp.concatenate([x, jnp.zeros(need - x.shape[0], dtype=x.dtype)]) if x.shape[0] < need else x[:need]
-    rows = x.reshape(n_frames + q, hop)
+    if x.shape[0] < need:
+        pad = jnp.zeros((need - x.shape[0],) + x.shape[1:], dtype=x.dtype)
+        x = jnp.concatenate([x, pad], axis=0)
+    else:
+        x = x[:need]
+    rows = x.reshape((n_frames + q, hop) + x.shape[1:])
     parts = [rows[i : i + n_frames] for i in range(q)]
     return jnp.concatenate(parts, axis=1)[:, :fft_size]
 
@@ -62,27 +73,28 @@ def make_taps(bins: jax.Array, window: jax.Array) -> tuple[jax.Array, jax.Array]
 def channelize_matmul(x: jax.Array, bins: jax.Array, window: jax.Array, *, hop: int, fft_size: int, n_frames: int) -> tuple[jax.Array, jax.Array]:
     """Windowed DFT at C bins via MXU matmul.
 
-    x: [L] complex64 baseband block; bins: [C] int32; window: [N] f32.
-    Returns (mags [n_frames, C] f32, iq [n_frames, C] complex64).
+    x: [L, 2] f32 baseband block (re/im pairs); bins: [C] int32; window: [N] f32.
+    Returns (mags [n_frames, C] f32, iq [n_frames, C, 2] f32).
     """
-    frames = make_frames(x, hop, fft_size, n_frames)
-    fr, fi = jnp.real(frames), jnp.imag(frames)
+    frames = make_frames(x, hop, fft_size, n_frames)  # [W, N, 2]
+    fr, fi = frames[..., 0], frames[..., 1]
     tr, ti = make_taps(bins, window)
     # (fr + i·fi) @ (tr + i·ti)^T
     yr = fr @ tr.T - fi @ ti.T
     yi = fr @ ti.T + fi @ tr.T
     mags = jnp.sqrt(yr * yr + yi * yi)
-    return mags, jax.lax.complex(yr, yi)
+    return mags, jnp.stack([yr, yi], axis=-1)
 
 
 @partial(jax.jit, static_argnames=("hop", "fft_size", "n_frames"))
 def channelize_fft(x: jax.Array, bins: jax.Array, window: jax.Array, *, hop: int, fft_size: int, n_frames: int) -> tuple[jax.Array, jax.Array]:
-    """Batched-FFT channelizer: full [n_frames, N] spectra, then bin gather."""
-    frames = make_frames(x, hop, fft_size, n_frames) * window[None, :]
-    spec = jnp.fft.fft(frames)
-    sel = spec[:, bins].astype(jnp.complex64)
-    yr, yi = jnp.real(sel), jnp.imag(sel)
-    return jnp.sqrt(yr * yr + yi * yi), sel
+    """Batched-FFT channelizer: full [n_frames, N] spectra, then bin gather.
+    Complex exists only transiently inside the program."""
+    frames = make_frames(x, hop, fft_size, n_frames) * window[None, :, None]
+    spec = jnp.fft.fft(jax.lax.complex(frames[..., 0], frames[..., 1]))
+    sel = spec[:, bins]
+    yr, yi = jnp.real(sel).astype(jnp.float32), jnp.imag(sel).astype(jnp.float32)
+    return jnp.sqrt(yr * yr + yi * yi), jnp.stack([yr, yi], axis=-1)
 
 
 @partial(jax.jit, static_argnames=("hop", "fft_size", "n_frames"))
@@ -91,17 +103,18 @@ def last_frame_spectrum_power(x: jax.Array, window: jax.Array, *, hop: int, fft_
     (reference: rtl_airband.cpp:180-251 hill-climbs adjacent FFT bins using
     the most recent FFT output)."""
     start = (n_frames - 1) * hop
-    frame = jax.lax.dynamic_slice(x, (start,), (fft_size,)) * window.astype(x.real.dtype)
-    spec = jnp.fft.fft(frame)
-    return jnp.real(spec) ** 2 + jnp.imag(spec) ** 2
+    frame = jax.lax.dynamic_slice(x, (start, 0), (fft_size, 2)) * window[:, None]
+    spec = jnp.fft.fft(jax.lax.complex(frame[:, 0], frame[:, 1]))
+    return (jnp.real(spec) ** 2 + jnp.imag(spec) ** 2).astype(jnp.float32)
 
 
 def decode_raw_iq(raw: jax.Array, sfmt: str, fullscale: float) -> jax.Array:
-    """On-device sample-format decode to complex64 (reference LUT/scale
+    """On-device sample-format decode to f32 IQ pairs (reference LUT/scale
     semantics, rtl_airband.cpp:316-324,402-455 — all four formats are affine
     so no LUT is needed on TPU).
 
     raw: u8 [2L] (u8/s8), int16 [2L], or f32 [2L] interleaved IQ.
+    Returns [L, 2] float32.
     """
     if sfmt == "u8":
         v = (raw.astype(jnp.float32) - 127.5) * (1.0 / 127.5)
@@ -113,5 +126,4 @@ def decode_raw_iq(raw: jax.Array, sfmt: str, fullscale: float) -> jax.Array:
         v = raw.astype(jnp.float32) * (1.0 / fullscale)
     else:
         raise ValueError(f"unknown sample format {sfmt}")
-    v = v.reshape(-1, 2)
-    return jax.lax.complex(v[:, 0], v[:, 1])
+    return v.reshape(-1, 2)

@@ -155,7 +155,7 @@ class DemodState(NamedTuple):
     slow: CtcssState
     # block-carry delay lines
     wavein_delay: jax.Array  # f32 [AGC_EXTRA, C], row 0 oldest (modified wavein)
-    iq_tail: jax.Array  # c64 [AGC_EXTRA, C] unconsumed channelizer IQ
+    iq_tail: jax.Array  # f32 [AGC_EXTRA, C, 2] unconsumed channelizer IQ
     waveout_tail: jax.Array  # f32 [AGC_EXTRA, C]
 
 
@@ -478,7 +478,7 @@ def demod_block(
     params: ChannelParams,
     state: DemodState,
     mags: jax.Array,  # [W, C] new channelizer magnitudes (buffer idx AGC_EXTRA..W+AGC_EXTRA)
-    iqs: jax.Array,  # [W, C] complex64 new channelizer bin IQ (same indices)
+    iqs: jax.Array,  # [W, C, 2] f32 new channelizer bin IQ (same indices)
     *,
     fm_quadri: bool = False,
     with_ctcss: bool = True,
@@ -486,7 +486,7 @@ def demod_block(
 ):
     """Process one WAVE_BATCH block for all channels.
 
-    Returns (new_state, audio [W, C], iq_out [W, C] complex64, open_flags [W, C]).
+    Returns (new_state, audio [W, C], iq_out [W, C, 2] f32, open_flags [W, C]).
     """
     W, C = mags.shape
     A = AGC_EXTRA
@@ -496,7 +496,7 @@ def demod_block(
     iq_stream = jnp.concatenate([state.iq_tail, iqs[: W - A]], axis=0)
     new_iq_tail = iqs[W - A :]
 
-    xs = dict(mag=mags, in_r=jnp.real(iq_stream), in_i=jnp.imag(iq_stream))
+    xs = dict(mag=mags, in_r=iq_stream[..., 0], in_i=iq_stream[..., 1])
 
     def body(st, x):
         st1, out = _scan_step(params, st, x["mag"], x["in_r"], x["in_i"], fm_quadri, with_ctcss)
@@ -534,7 +534,7 @@ def demod_block(
 
     audio = w_full[:W]
     new_tail = w_full[W:]
-    iq_out = jax.lax.complex(outs["iq_out_r"], outs["iq_out_i"])
+    iq_out = jnp.stack([outs["iq_out_r"], outs["iq_out_i"]], axis=-1)
 
     state2 = state1._replace(iq_tail=new_iq_tail, waveout_tail=new_tail)
     if trace:

@@ -138,8 +138,8 @@ def make_channel_params(
 
 def init_demod_state(C: int, prime_mags, prime_iqs) -> DemodState:
     """Initial carried state (reference inits: squelch.cpp:36-84,
-    config.cpp:270-330).  ``prime_mags``/``prime_iqs`` are the first AGC_EXTRA
-    channelizer outputs [A, C] that seed the wavein delay line and IQ tail —
+    config.cpp:270-330).  ``prime_mags`` [A, C] / ``prime_iqs`` [A, C, 2] are the first
+    AGC_EXTRA channelizer outputs that seed the wavein delay line and IQ tail —
     the reference's first batch fills buffer indices [0, AGC_EXTRA) before the
     per-sample loop starts reading at j = AGC_EXTRA."""
     A = AGC_EXTRA
@@ -189,6 +189,6 @@ def init_demod_state(C: int, prime_mags, prime_iqs) -> DemodState:
         fast=ct(),
         slow=ct(),
         wavein_delay=jnp.asarray(prime_mags, jnp.float32),
-        iq_tail=jnp.asarray(prime_iqs, jnp.complex64),
+        iq_tail=jnp.asarray(prime_iqs, jnp.float32),
         waveout_tail=jnp.full((A, C), 0.5, jnp.float32),
     )

@@ -1,0 +1,146 @@
+"""Icecast source client over a plain socket (reference: src/output.cpp's
+libshout usage, output.cpp:56-146 connect/retry, :467-497 send + backlog).
+
+Speaks the Icecast2 HTTP source protocol (PUT with Basic auth, the modern
+equivalent of libshout's default); maintains the reference's failure
+semantics: non-blocking connect with retry handled by the app's
+output-check cadence, disconnect when the kernel send buffer backs up past
+MAX_SHOUT_QUEUELEN bytes, and in-band metadata updates for scan-mode
+frequency tags via the admin endpoint.
+"""
+
+from __future__ import annotations
+
+import base64
+import socket
+import time
+from urllib.parse import quote
+
+MAX_QUEUELEN = 32768  # reference: rtl_airband.h MAX_SHOUT_QUEUELEN
+
+
+class IcecastOutput:
+    def __init__(
+        self,
+        server: str,
+        port: int,
+        mountpoint: str,
+        username: str = "source",
+        password: str = "",
+        name: str = "",
+        genre: str = "",
+        description: str = "",
+        content_type: str = "audio/mpeg",
+        send_scan_freq_tags: bool = False,
+    ):
+        self.server = server
+        self.port = port
+        self.mountpoint = mountpoint if mountpoint.startswith("/") else "/" + mountpoint
+        self.username = username
+        self.password = password
+        self.name = name
+        self.genre = genre
+        self.description = description
+        self.content_type = content_type
+        self.send_scan_freq_tags = send_scan_freq_tags
+        self.sock: socket.socket | None = None
+        self.last_attempt = 0.0
+
+    # ---------------------------------------------------------- connection
+
+    @property
+    def connected(self) -> bool:
+        return self.sock is not None
+
+    def connect(self, timeout: float = 5.0) -> bool:
+        """One connect attempt (the reference retries from
+        output_check_thread every 10 s; the app layer calls this on that
+        cadence)."""
+        self.last_attempt = time.time()
+        try:
+            s = socket.create_connection((self.server, self.port), timeout=timeout)
+        except OSError:
+            return False
+        auth = base64.b64encode(f"{self.username}:{self.password}".encode()).decode()
+        headers = [
+            f"PUT {quote(self.mountpoint)} HTTP/1.1",
+            f"Host: {self.server}:{self.port}",
+            f"Authorization: Basic {auth}",
+            "User-Agent: rtlsdr-airband-tpu",
+            f"Content-Type: {self.content_type}",
+            "Ice-Public: 0",
+            "Expect: 100-continue",
+        ]
+        if self.name:
+            headers.append(f"Ice-Name: {self.name}")
+        if self.genre:
+            headers.append(f"Ice-Genre: {self.genre}")
+        if self.description:
+            headers.append(f"Ice-Description: {self.description}")
+        try:
+            s.sendall(("\r\n".join(headers) + "\r\n\r\n").encode())
+            s.settimeout(timeout)
+            resp = s.recv(4096).decode(errors="replace")
+            if " 100 " not in resp.split("\r\n")[0] and " 200 " not in resp.split("\r\n")[0]:
+                s.close()
+                return False
+        except OSError:
+            s.close()
+            return False
+        s.setblocking(False)
+        self.sock = s
+        return True
+
+    def disconnect(self) -> None:
+        if self.sock is not None:
+            try:
+                self.sock.close()
+            except OSError:
+                pass
+            self.sock = None
+
+    # ---------------------------------------------------------------- data
+
+    def send(self, data: bytes) -> bool:
+        """Send encoded audio; on backlog or error, disconnect (the app's
+        check cadence reconnects) — reference: output.cpp:467-479."""
+        if self.sock is None or not data:
+            return self.sock is not None
+        try:
+            import fcntl  # noqa: F401  (SIOCOUTQ below is linux-only)
+            import struct
+            import termios
+
+            outq = struct.unpack("i", fcntl.ioctl(self.sock.fileno(), termios.TIOCOUTQ, b"\0\0\0\0"))[0]
+            if outq > MAX_QUEUELEN:
+                self.disconnect()
+                return False
+        except (OSError, ImportError):
+            pass
+        try:
+            self.sock.sendall(data)
+            return True
+        except BlockingIOError:
+            # kernel buffer full == backlog; match reference disconnect
+            self.disconnect()
+            return False
+        except OSError:
+            self.disconnect()
+            return False
+
+    def send_metadata(self, song: str, timeout: float = 3.0) -> bool:
+        """Scan-frequency 'song' tag via the admin metadata endpoint
+        (reference: shout_set_metadata, output.cpp:480-497)."""
+        try:
+            s = socket.create_connection((self.server, self.port), timeout=timeout)
+            auth = base64.b64encode(f"{self.username}:{self.password}".encode()).decode()
+            path = f"/admin/metadata?mode=updinfo&mount={quote(self.mountpoint)}&song={quote(song)}"
+            s.sendall(
+                (f"GET {path} HTTP/1.0\r\nHost: {self.server}\r\nAuthorization: Basic {auth}\r\nUser-Agent: rtlsdr-airband-tpu\r\n\r\n").encode()
+            )
+            s.settimeout(timeout)
+            s.recv(1024)
+            s.close()
+            return True
+        except OSError:
+            return False

@@ -42,25 +42,44 @@ def make_pipeline_mesh(devices=None, time_shards: int | None = None) -> Mesh:
     return Mesh(devices.reshape(time_shards, n // time_shards), ("time", "chan"))
 
 
+def _channel_axis(shape: tuple, channel_dim: int) -> int | None:
+    """Rightmost dim whose size equals the channel count (IQ-pair leaves are
+    [..., C, 2], so scan from the right)."""
+    for ax in range(len(shape) - 1, -1, -1):
+        if shape[ax] == channel_dim:
+            return ax
+    return None
+
+
+def channel_pspec(shape: tuple, channel_dim: int, axis: str = "chan") -> P:
+    ax = _channel_axis(shape, channel_dim)
+    if ax is None:
+        return P()
+    spec = [None] * len(shape)
+    spec[ax] = axis
+    return P(*spec)
+
+
+def infer_channel_dim(tree) -> int:
+    from collections import Counter
+
+    leaves = [l for l in jax.tree.leaves(tree) if l.ndim > 0]
+    return Counter(l.shape[-1] for l in leaves).most_common(1)[0][0]
+
+
 def shard_last(mesh: Mesh, tree, axis: str = "chan", channel_dim: int | None = None):
-    """Shard array leaves over their last dimension (the channel dim).
+    """Shard array leaves over their channel dimension (rightmost dim whose
+    size equals the channel count; IQ-pair leaves [..., C, 2] shard on -2).
 
-    Leaves whose last dim is not the channel count (e.g. the shared 257-entry
-    sincos LUTs in ChannelParams) are replicated.  ``channel_dim`` defaults to
-    the most common last-dim size across leaves.
+    Leaves with no channel-sized dim (e.g. the shared 257-entry sincos LUTs
+    in ChannelParams) are replicated.  ``channel_dim`` defaults to the most
+    common last-dim size across leaves.
     """
-    leaves = jax.tree.leaves(tree)
     if channel_dim is None:
-        from collections import Counter
-
-        channel_dim = Counter(l.shape[-1] for l in leaves if l.ndim > 0).most_common(1)[0][0]
+        channel_dim = infer_channel_dim(tree)
 
     def put(leaf):
-        if leaf.ndim > 0 and leaf.shape[-1] == channel_dim:
-            s = NamedSharding(mesh, P(*([None] * (leaf.ndim - 1) + [axis])))
-        else:
-            s = NamedSharding(mesh, P())
-        return jax.device_put(leaf, s)
+        return jax.device_put(leaf, NamedSharding(mesh, channel_pspec(leaf.shape, channel_dim, axis)))
 
     return jax.tree.map(put, tree)
 
@@ -86,10 +105,10 @@ def channelize_time_sharded(mesh: Mesh, x: jax.Array, bins: jax.Array, window: j
     assert body % T == 0
     local_body = body // T
 
-    x_body, x_tail = x[:body], x[body:]  # tail: [halo]
+    x_body, x_tail = x[:body], x[body:]  # tail: [halo, 2]
 
     def kernel(xb, xt, b, w):
-        # xb: [local_body] this shard's samples; xt: [halo] global tail (replicated)
+        # xb: [local_body, 2] this shard's IQ pairs; xt: [halo, 2] global tail
         i = jax.lax.axis_index("time")
         T_ = jax.lax.axis_size("time")
         # send my leading `halo` samples to my LEFT neighbour (it needs them
@@ -97,19 +116,19 @@ def channelize_time_sharded(mesh: Mesh, x: jax.Array, bins: jax.Array, window: j
         head = jax.lax.slice_in_dim(xb, 0, halo, axis=0)
         recv = jax.lax.ppermute(head, "time", [((j + 1) % T_, j) for j in range(T_)])
         my_halo = jnp.where(i == T_ - 1, xt, recv)
-        xloc = jnp.concatenate([xb, my_halo])
-        frames = make_frames(xloc, hop, fft_size, local_frames)
+        xloc = jnp.concatenate([xb, my_halo], axis=0)
+        frames = make_frames(xloc, hop, fft_size, local_frames)  # [F, N, 2]
         tr, ti = make_taps(b, w)
-        fr, fi = jnp.real(frames), jnp.imag(frames)
+        fr, fi = frames[..., 0], frames[..., 1]
         yr = fr @ tr.T - fi @ ti.T
         yi = fr @ ti.T + fi @ tr.T
-        return jnp.sqrt(yr * yr + yi * yi), jax.lax.complex(yr, yi)
+        return jnp.sqrt(yr * yr + yi * yi), jnp.stack([yr, yi], axis=-1)
 
     return shard_map(
         kernel,
         mesh=mesh,
-        in_specs=(P("time"), P(), P(), P()),
-        out_specs=(P("time", None), P("time", None)),
+        in_specs=(P("time", None), P(None, None), P(), P()),
+        out_specs=(P("time", None), P("time", None, None)),
         check_rep=False,
     )(x_body, x_tail, bins, window)
 
@@ -118,15 +137,16 @@ def make_sharded_pipeline_step(mesh: Mesh, *, hop: int, fft_size: int, n_frames:
     """Build the jitted multi-chip block step: time-sharded overlap-save
     channelizer → all-to-all reshard → channel-sharded demod scan."""
 
-    chan_last = lambda nd: NamedSharding(mesh, P(*([None] * (nd - 1) + ["chan"])))
-
     def step(x, bins, window, params: ChannelParams, state: DemodState):
         mags, iqs = channelize_time_sharded(mesh, x, bins, window, hop=hop, fft_size=fft_size, n_frames=n_frames)
         # reshard [time-sharded frames, C] -> [frames, chan-sharded C]:
         # GSPMD inserts the all-to-all over ICI from these constraints.
         mags = jax.lax.with_sharding_constraint(mags, NamedSharding(mesh, P(None, "chan")))
-        iqs = jax.lax.with_sharding_constraint(iqs, NamedSharding(mesh, P(None, "chan")))
-        state = jax.tree.map(lambda l: jax.lax.with_sharding_constraint(l, chan_last(l.ndim)), state)
+        iqs = jax.lax.with_sharding_constraint(iqs, NamedSharding(mesh, P(None, "chan", None)))
+        cdim = mags.shape[-1]
+        state = jax.tree.map(
+            lambda l: jax.lax.with_sharding_constraint(l, NamedSharding(mesh, channel_pspec(l.shape, cdim))), state
+        )
         state, audio, iq_out, open_flags = demod_block(params, state, mags, iqs, fm_quadri=fm_quadri, with_ctcss=with_ctcss)
         return state, audio, iq_out, jnp.any(open_flags, axis=0)
 

@@ -47,7 +47,7 @@ def channelize_block(x, bins, window, *, hop, fft_size, n_frames, use_fft=False)
 
 @partial(jax.jit, static_argnames=("hop", "fft_size", "n_frames", "use_fft", "fm_quadri", "with_ctcss", "with_afc"))
 def pipeline_block(
-    x: jax.Array,  # [L] complex64 baseband slice for this block
+    x: jax.Array,  # [L, 2] f32 IQ-pair baseband slice for this block
     bins: jax.Array,  # [C] int32 FFT bin per channel
     window: jax.Array,  # [N] f32
     params: ChannelParams,
@@ -67,7 +67,7 @@ def pipeline_block(
     state, audio, iq_out, open_flags = demod_block(params, state, mags, iqs, fm_quadri=fm_quadri, with_ctcss=with_ctcss)
     out = dict(
         audio=audio,  # [W, C]
-        iq_out=iq_out,  # [W, C] complex64
+        iq_out=iq_out,  # [W, C, 2] f32 IQ pairs
         open_flags=open_flags,  # [W, C] bool
         active=jnp.any(open_flags, axis=0),  # [C]
         signal_level=state.pre_full,
@@ -121,7 +121,7 @@ class Pipeline:
         self.any_ctcss = bool(any(s.ctcss > 0 for s in specs))
         self.any_afc = bool(any(s.afc for s in specs))
 
-        self._pending = np.zeros(0, np.complex64)
+        self._pending = np.zeros((0, 2), np.float32)
         self._primed = False
         self.state: DemodState | None = None
         self.blocks_processed = 0
@@ -133,20 +133,24 @@ class Pipeline:
     # ----------------------------------------------------------------- host
 
     def _decode(self, raw) -> np.ndarray:
-        if self.cfg.sample_format == "f32c":
-            return np.asarray(raw, np.complex64)
-        from ..ops.sampleconv import SampleFormat, decode_iq, iq_to_complex
+        """Decode to [L, 2] float32 IQ pairs (complex64 never crosses the
+        host<->device boundary — unsupported by the axon TPU runtime)."""
+        if self.cfg.sample_format == "f32c" or (isinstance(raw, np.ndarray) and np.iscomplexobj(raw)):
+            z = np.asarray(raw, np.complex64)
+            return np.stack([z.real, z.imag], axis=-1).astype(np.float32)
+        from ..ops.sampleconv import SampleFormat, decode_iq
 
-        return iq_to_complex(decode_iq(raw, SampleFormat(self.cfg.sample_format), self.cfg.fullscale))
+        return decode_iq(raw, SampleFormat(self.cfg.sample_format), self.cfg.fullscale)
 
     def feed(self, raw) -> Iterator[dict]:
-        """Feed IQ (complex64 array, or raw bytes in the configured sample
-        format).  Yields one result dict per completed block."""
+        """Feed IQ (complex64 array, [L, 2] f32 pairs, or raw bytes in the
+        configured sample format).  Yields one result dict per completed
+        block."""
         x = self._decode(raw)
-        self._pending = np.concatenate([self._pending, x]) if self._pending.size else x
+        self._pending = np.concatenate([self._pending, x], axis=0) if self._pending.size else x
 
         if not self._primed:
-            if self._pending.size < self._prime_len:
+            if self._pending.shape[0] < self._prime_len:
                 return
             mags, iqs = channelize_block(
                 jnp.asarray(self._pending[: self._prime_len]), self.bins, self.window,
@@ -156,7 +160,7 @@ class Pipeline:
             self._pending = self._pending[self.A * self.hop :]
             self._primed = True
 
-        while self._pending.size >= self._block_len:
+        while self._pending.shape[0] >= self._block_len:
             xb = jnp.asarray(self._pending[: self._block_len])
             self.state, out = pipeline_block(
                 xb, self.bins, self.window, self.params, self.state,
@@ -174,3 +178,25 @@ class Pipeline:
         """AFC / scan retune: move channels to new FFT bins (cheap — DFT taps
         are recomputed in-jit from the bins array, no host rebuild)."""
         self.bins = jnp.asarray(np.asarray(bins, np.int32))
+
+    def retune(self, specs: list[ChannelSpec], center_freq: int | None = None) -> None:
+        """Scan-mode retune: new channel frequencies and/or device center.
+        Rebuilds params + bins host-side; shapes are unchanged so the jitted
+        block function is a cache hit (reference analog: controller_thread
+        changing freq_idx + input centerfreq, rtl_airband.cpp:112-123)."""
+        if center_freq is not None:
+            self.cfg.center_freq = center_freq
+        if len(specs) != self.C:
+            raise ValueError("retune cannot change channel count")
+        self.specs = specs
+        cfg = self.cfg
+        self.params = make_channel_params(
+            specs, wave_rate=cfg.wave_rate, sample_rate=cfg.sample_rate, center_freq=cfg.center_freq, fft_size=cfg.fft_size
+        )
+        self.base_bins = np.array(
+            [bin_for_freq(s.frequency, cfg.center_freq, cfg.sample_rate, cfg.fft_size) for s in specs], np.int32
+        )
+        self.bins = jnp.asarray(self.base_bins)
+        # drop buffered samples from the old tuning and re-prime
+        self._pending = np.zeros((0, 2), np.float32)
+        self._primed = False

