@@ -217,6 +217,11 @@ class App:
                 chrt.outputs.close()
         for name, oset in self.mixer_outputs.items():
             oset.close()
+        if self.stats_writer is not None:
+            self.stats_writer.write(
+                [rt.stats for rt in self.devices],
+                [MixerStats(name=n, output_overrun_count=m.output_overrun_count, input_overrun_counts=[i.overrun_count for i in m.inputs]) for n, m in self.mixers.items()],
+            )
         log(LOG_NOTICE, "shutdown complete")
 
     def run(self, max_seconds: float | None = None) -> None:

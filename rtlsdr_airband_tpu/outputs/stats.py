@@ -60,7 +60,9 @@ class StatsWriter:
         self.filepath = filepath
         self.fft_size = fft_size
         self._clock = clock
-        self._last_write = 0.0
+        # first write 15 s after startup (reference: output_thread's
+        # last_stats_write starts at thread launch, output.cpp:879,928-930)
+        self._last_write = clock()
 
     def maybe_write(self, devices: list[DeviceStats], mixers: list[MixerStats] | None = None) -> bool:
         now = self._clock()

@@ -1,0 +1,179 @@
+"""App integration on the CPU backend: config -> file input -> pipeline ->
+outputs, including scan mode and mixers.  (The conftest pins jax to an
+8-device virtual CPU mesh; the TPU path is exercised by bench/driver.)"""
+
+import os
+import time
+
+import numpy as np
+import pytest
+
+from rtlsdr_airband_tpu.app import App
+from rtlsdr_airband_tpu.runtime.config import loads_config
+from rtlsdr_airband_tpu.utils.siggen import am_carrier_iq, complex_noise
+
+FS = 2_560_000
+
+
+def write_iq(path, secs=2.0, freq_off=400_000, wr=8000, tone=800.0, gate=None):
+    n = int(FS * secs)
+    audio = (0.9 * np.sin(2 * np.pi * tone * np.arange(int(wr * secs)) / wr)).astype(np.float32)
+    iq = am_carrier_iq(FS, freq_off, n, audio=audio, carrier_ampl=0.4, mod_index=0.8, audio_rate=wr)
+    if gate is not None:
+        g = np.zeros(n, np.float32)
+        g[int(n * gate[0]) : int(n * gate[1])] = 1.0
+        iq = iq * g
+    iq = iq + complex_noise(n, 0.005, seed=7)
+    u8 = np.empty(2 * n, np.uint8)
+    u8[0::2] = np.clip(np.round(iq.real * 127.5 + 127.5), 0, 255).astype(np.uint8)
+    u8[1::2] = np.clip(np.round(iq.imag * 127.5 + 127.5), 0, 255).astype(np.uint8)
+    u8.tofile(path)
+
+
+def run_app(cfg_text, max_wall=90):
+    cfg = loads_config(cfg_text)
+    app = App(cfg)
+    app.start()
+    t0 = time.time()
+    try:
+        while time.time() - t0 < max_wall:
+            w = app._service_once()
+            if not any(rt.alive for rt in app.devices):
+                break
+            if not w:
+                time.sleep(0.002)
+    finally:
+        app.stop()
+    return app
+
+
+def test_end_to_end_file_to_wav(tmp_path):
+    iq = tmp_path / "iq.bin"
+    write_iq(str(iq), secs=2.0)
+    out = tmp_path / "out"
+    cfg = f'''
+fft_size = 512;
+stats_filepath = "{tmp_path}/stats.txt";
+devices: ({{
+  type = "file"; filepath = "{iq}"; sample_format = "u8";
+  sample_rate = 2560000; centerfreq = 120.0; speedup_factor = 0.0;
+  channels: ({{
+    freq = 120.4;
+    outputs: ( {{ type = "file"; directory = "{out}"; filename_template = "twr"; }} );
+  }});
+}});
+'''
+    app = run_app(cfg)
+    rt = app.devices[0]
+    assert rt.pipeline.blocks_processed >= 10
+    files = os.listdir(out)
+    assert len(files) == 1 and files[0].endswith((".mp3", ".wav"))
+    assert os.path.getsize(out / files[0]) > 1000
+    # stats were written with real levels
+    text = open(tmp_path / "stats.txt").read()
+    assert "channel_activity_counter" in text
+    line = [l for l in text.splitlines() if l.startswith('channel_activity_counter{freq="120.400"}')][0]
+    assert int(line.split("\t")[1]) > 0
+
+
+def test_scan_mode_hops(tmp_path):
+    # signal only at the second scan frequency; device must hop to it
+    iq = tmp_path / "iq.bin"
+    write_iq(str(iq), secs=4.0, freq_off=0)  # carrier exactly at scanned freq
+    out = tmp_path / "outs"
+    cfg = f'''
+fft_size = 512;
+devices: ({{
+  type = "file"; filepath = "{iq}"; sample_format = "u8";
+  sample_rate = 2560000; centerfreq = 121.5; mode = "scan"; speedup_factor = 0.0;
+  channels: ({{
+    freqs = ( 118.0, 121.5 );
+    outputs: ( {{ type = "file"; directory = "{out}"; filename_template = "scan"; include_freq = true; }} );
+  }});
+}});
+'''
+    cfg_obj = loads_config(cfg)
+    app = App(cfg_obj)
+    # drive the scan clock manually: controller checks are 200 ms apart
+    sc = app.devices[0].scan
+    assert sc is not None
+    base_t = [time.time()]
+    sc._clock = lambda: base_t[0]
+    app.start()
+    t0 = time.time()
+    try:
+        while time.time() - t0 < 120:
+            base_t[0] += 0.25  # fake 250 ms per service tick
+            app._service_once()
+            if sc.st.freq_idx == 1 and app.devices[0].pipeline.blocks_processed > 2:
+                break
+            if not any(rt.alive for rt in app.devices):
+                break
+    finally:
+        app.stop()
+    assert sc.st.freq_idx == 1, "scan never hopped to the active frequency"
+    # after the hop the pipeline is tuned so the carrier is in-band
+    ch0 = app.devices[0].channels[0]
+    assert ch0.freq_idx == 1
+
+
+def test_mixer_end_to_end(tmp_path):
+    iq = tmp_path / "iq.bin"
+    write_iq(str(iq), secs=1.5)
+    out = tmp_path / "outm"
+    cfg = f'''
+fft_size = 512;
+mixers: {{
+  mx: {{ outputs: ( {{ type = "file"; directory = "{out}"; filename_template = "mixed"; continuous = true; }} ); }};
+}};
+devices: ({{
+  type = "file"; filepath = "{iq}"; sample_format = "u8";
+  sample_rate = 2560000; centerfreq = 120.0; speedup_factor = 0.0;
+  channels: ({{
+    freq = 120.4;
+    outputs: ( {{ type = "mixer"; name = "mx"; }} );
+  }});
+}});
+'''
+    app = run_app(cfg)
+    files = os.listdir(out)
+    assert len(files) == 1
+    assert os.path.getsize(out / files[0]) > 500
+
+
+def test_udp_output_streams(tmp_path):
+    import socket
+
+    rx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    rx.bind(("127.0.0.1", 0))
+    rx.setblocking(False)
+    port = rx.getsockname()[1]
+    iq = tmp_path / "iq.bin"
+    write_iq(str(iq), secs=1.5)
+    cfg = f'''
+fft_size = 512;
+devices: ({{
+  type = "file"; filepath = "{iq}"; sample_format = "u8";
+  sample_rate = 2560000; centerfreq = 120.0; speedup_factor = 0.0;
+  channels: ({{
+    freq = 120.4;
+    outputs: ( {{ type = "udp_stream"; dest_address = "127.0.0.1"; dest_port = {port}; }} );
+  }});
+}});
+'''
+    run_app(cfg)
+    chunks = []
+    try:
+        while True:
+            data, _ = rx.recvfrom(65536)
+            chunks.append(data)
+    except BlockingIOError:
+        pass
+    rx.close()
+    assert chunks, "no UDP audio received"
+    audio = np.frombuffer(b"".join(chunks), np.float32)
+    # 800 Hz tone must dominate
+    seg = audio[: 4096] * np.hanning(min(4096, audio.size))
+    freqs = np.fft.rfftfreq(seg.size, 1 / 8000)
+    peak = freqs[np.argmax(np.abs(np.fft.rfft(seg))[5:]) + 5]
+    assert abs(peak - 800) < 25

@@ -1,0 +1,138 @@
+"""Input layer: ring buffer (tail duplication, overflow), file driver
+(pacing, EOF->FAILED), driver registry."""
+
+import time
+
+import numpy as np
+import pytest
+
+from rtlsdr_airband_tpu.inputs.base import InputState, RingBuffer, input_new
+from rtlsdr_airband_tpu.inputs.filesrc import FileInput
+
+
+class TestRingBuffer:
+    def test_basic_append_read(self):
+        rb = RingBuffer(1000)
+        assert rb.append(np.arange(100, dtype=np.uint8))
+        assert rb.available() == 100
+        out = rb.read(100)
+        np.testing.assert_array_equal(out, np.arange(100, dtype=np.uint8))
+        assert rb.available() == 0
+
+    def test_overflow_counted_and_rejected(self):
+        rb = RingBuffer(100)
+        assert rb.append(np.zeros(80, np.uint8))
+        assert not rb.append(np.zeros(30, np.uint8))
+        assert rb.overflow_count == 1
+        assert rb.available() == 80
+
+    def test_wraparound_data_integrity(self):
+        rb = RingBuffer(256)
+        seq = np.arange(1024, dtype=np.int64) % 251
+        w = 0
+        r = 0
+        got = []
+        while r < 1024:
+            if w < 1024:
+                n = min(97, 1024 - w)
+                if rb.append(seq[w : w + n].astype(np.uint8)):
+                    w += n
+            take = min(61, w - r)
+            if take > 0:
+                chunk = rb.read(take)
+                if chunk is not None:
+                    got.append(chunk)
+                    r += take
+        all_got = np.concatenate(got)
+        np.testing.assert_array_equal(all_got, (seq % 251).astype(np.uint8))
+
+    def test_tail_duplication_contiguous_reads(self):
+        # reference: input-helpers.cpp:27-54 — a window-sized read crossing
+        # the wrap point must come back contiguous and correct
+        extra = 64
+        rb = RingBuffer(256, extra=extra)
+        data = np.arange(512, dtype=np.int64) % 256
+        w = r = 0
+        while r < 448:
+            if w < 512:
+                n = min(64, 512 - w)
+                if rb.append(data[w : w + n].astype(np.uint8)):
+                    w += n
+            chunk = rb.read(min(48, w - r)) if w > r else None
+            if chunk is not None:
+                np.testing.assert_array_equal(chunk, (data[r : r + len(chunk)] % 256).astype(np.uint8))
+                r += len(chunk)
+
+
+class TestFileInput:
+    def _mkfile(self, tmp_path, n=200_000):
+        p = tmp_path / "iq.bin"
+        data = (np.arange(n) % 251).astype(np.uint8)
+        data.tofile(p)
+        return str(p), data
+
+    def test_reads_all_and_fails_at_eof(self, tmp_path):
+        path, data = self._mkfile(tmp_path)
+        inp = FileInput(path, sample_rate=2_560_000, speedup_factor=0)
+        inp.init()
+        inp.start()
+        got = []
+        deadline = time.time() + 10
+        while time.time() < deadline:
+            chunk = inp.read_bytes(4096)
+            if chunk is not None:
+                got.append(chunk)
+            elif inp.state == InputState.FAILED and inp.available_bytes() < 4096:
+                break
+        tail = inp.read_bytes(inp.available_bytes()) if inp.available_bytes() else None
+        if tail is not None:
+            got.append(tail)
+        inp.stop()
+        all_got = np.concatenate(got)
+        assert all_got.size == data.size
+        np.testing.assert_array_equal(all_got, data)
+        assert inp.state == InputState.FAILED  # EOF semantics (input-file.cpp:104-108)
+
+    def test_missing_file_raises(self, tmp_path):
+        inp = FileInput(str(tmp_path / "nope.bin"))
+        with pytest.raises(FileNotFoundError):
+            inp.init()
+        assert inp.state == InputState.FAILED
+
+    def test_pacing_roughly_matches_speedup(self, tmp_path):
+        # 0.5 s of data at speedup 10 should take >= ~50 ms to deliver
+        n = int(2_560_000 * 2 * 0.5)
+        path, _ = self._mkfile(tmp_path, n=n)
+        inp = FileInput(path, sample_rate=2_560_000, speedup_factor=10, buf_size=n + 1024)
+        inp.init()
+        t0 = time.time()
+        inp.start()
+        while inp.state == InputState.RUNNING and time.time() - t0 < 5:
+            time.sleep(0.002)
+        dt = time.time() - t0
+        inp.stop()
+        assert dt >= 0.04, f"file delivered too fast ({dt:.3f}s) — pacing not applied"
+
+
+class TestRegistry:
+    def test_file_driver_lookup(self, tmp_path):
+        p = tmp_path / "x.bin"
+        p.write_bytes(b"\x00" * 100)
+        inp = input_new("file", filepath=str(p))
+        assert isinstance(inp, FileInput)
+
+    def test_unknown_type(self):
+        with pytest.raises(ValueError, match="unknown input type"):
+            input_new("carrier_pigeon")
+
+    def test_hardware_drivers_importable_but_gated(self):
+        # modules import cleanly without the hardware libs; init() raises
+        from rtlsdr_airband_tpu.inputs.mirisdr import MiriSdrInput, mirisdr_available
+        from rtlsdr_airband_tpu.inputs.rtlsdr import RtlSdrInput, rtlsdr_available
+
+        if not rtlsdr_available():
+            with pytest.raises(RuntimeError, match="librtlsdr"):
+                RtlSdrInput().init()
+        if not mirisdr_available():
+            with pytest.raises(RuntimeError, match="libmirisdr"):
+                MiriSdrInput().init()

@@ -242,6 +242,8 @@ def test_stats_writer_format(tmp_path):
         )
     ]
     mix = [MixerStats(name="mx", output_overrun_count=1, input_overrun_counts=[0, 3])]
+    assert not w.maybe_write(devs, mix)  # first write only after the interval
+    clk.t += 16
     assert w.maybe_write(devs, mix)
     assert not w.maybe_write(devs, mix)  # within interval
     clk.t += 16
