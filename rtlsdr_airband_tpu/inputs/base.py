@@ -92,6 +92,19 @@ class RingBuffer:
             return out
 
 
+def make_ring_buffer(size: int, extra: int = 0):
+    """Native C++ ring buffer when built (native/ingest.cpp via make), else
+    the pure-Python implementation above — identical interfaces."""
+    try:
+        from ..native import NativeRingBuffer, native_available
+
+        if native_available():
+            return NativeRingBuffer(size, extra)
+    except Exception:
+        pass
+    return RingBuffer(size, extra)
+
+
 class Input:
     """Base driver.  Subclasses implement _rx_loop (thread body pushing into
     self.ring) or override read_nonblock for pull-style sources."""
@@ -104,7 +117,7 @@ class Input:
         self.sample_rate = sample_rate
         self.centerfreq = centerfreq
         self.state = InputState.UNKNOWN
-        self.ring = RingBuffer(buf_size, extra)
+        self.ring = make_ring_buffer(buf_size, extra)
         self._thread: threading.Thread | None = None
         self._stop = threading.Event()
 

@@ -43,13 +43,53 @@ class FileInput(Input):
         self.fullscale = fullscale if fullscale is not None else default_fullscale(SampleFormat(sample_format))
         self.speedup_factor = speedup_factor
         self._f = None
+        self._native = None
 
     def init(self) -> None:
         if not os.path.exists(self.filepath):
             self.state = InputState.FAILED
             raise FileNotFoundError(self.filepath)
-        self._f = open(self.filepath, "rb")
+        # prefer the C++ reader thread (native/ingest.cpp) — no GIL
+        # contention with the block loop
+        try:
+            from ..native import NativeFileReader, NativeRingBuffer, native_available
+
+            if native_available() and isinstance(self.ring, NativeRingBuffer):
+                self._native = NativeFileReader(
+                    self.filepath, self.ring,
+                    bytes_per_sec=self.sample_rate * self.bytes_per_sample,
+                    speedup=self.speedup_factor,
+                    chunk=CHUNK,
+                )
+        except FileNotFoundError:
+            self.state = InputState.FAILED
+            raise
+        except Exception:
+            self._native = None
+        if self._native is None:
+            self._f = open(self.filepath, "rb")
         self.state = InputState.INITIALIZED
+
+    def start(self) -> None:
+        if self._native is not None:
+            self._native.start()
+            self.state = InputState.RUNNING
+        else:
+            super().start()
+
+    @property
+    def state(self) -> InputState:
+        if getattr(self, "_native", None) is not None and self._state in (InputState.RUNNING, InputState.INITIALIZED):
+            ns = self._native.state
+            if ns == "FAILED":
+                return InputState.FAILED
+            if ns == "STOPPED":
+                return InputState.STOPPED
+        return self._state
+
+    @state.setter
+    def state(self, v: InputState) -> None:
+        self._state = v
 
     def _rx_loop(self) -> None:
         # wall time represented by one byte of input (input-file.cpp:94)
@@ -73,7 +113,14 @@ class FileInput(Input):
                     time.sleep(surplus)
         # loop exited via stop
     def stop(self) -> None:
-        super().stop()
+        if self._native is not None:
+            self._native.stop()
+            if self._native.state == "FAILED":
+                self._state = InputState.FAILED
+            elif self._state == InputState.RUNNING:
+                self._state = InputState.STOPPED
+        else:
+            super().stop()
         if self._f is not None:
             self._f.close()
             self._f = None

@@ -35,9 +35,10 @@ def make_u8_lut() -> np.ndarray:
 
 
 def make_s8_lut() -> np.ndarray:
+    """Indexed by the signed byte reinterpreted as u8 (two's complement)."""
     lut = np.zeros(256, dtype=np.float32)
-    for i in range(-127, 128):
-        lut[np.uint8(i)] = np.float32(i) / np.float32(128.0)
+    for i in range(-128, 128):
+        lut[i & 0xFF] = np.float32(i) / np.float32(128.0)
     return lut
 
 

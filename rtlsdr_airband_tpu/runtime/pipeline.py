@@ -138,6 +138,15 @@ class Pipeline:
         if self.cfg.sample_format == "f32c" or (isinstance(raw, np.ndarray) and np.iscomplexobj(raw)):
             z = np.asarray(raw, np.complex64)
             return np.stack([z.real, z.imag], axis=-1).astype(np.float32)
+        if isinstance(raw, np.ndarray) and raw.ndim == 2 and raw.shape[1] == 2 and raw.dtype == np.float32:
+            return raw
+        try:
+            from ..native import convert_iq, native_available
+
+            if native_available():
+                return convert_iq(raw, self.cfg.sample_format, self.cfg.fullscale)
+        except Exception:
+            pass
         from ..ops.sampleconv import SampleFormat, decode_iq
 
         return decode_iq(raw, SampleFormat(self.cfg.sample_format), self.cfg.fullscale)
