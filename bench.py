@@ -27,7 +27,7 @@ def main() -> int:
     from rtlsdr_airband_tpu.models.flagship import build_flagship
     from rtlsdr_airband_tpu.runtime.pipeline import pipeline_block
 
-    n_channels = int(os.environ.get("BENCH_CHANNELS", "256"))
+    n_channels = int(os.environ.get("BENCH_CHANNELS", "2048"))
     sample_rate = 2_560_000
     wave_rate = 16000
     reps = int(os.environ.get("BENCH_REPS", "20"))

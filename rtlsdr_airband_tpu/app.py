@@ -34,7 +34,7 @@ from .runtime.pipeline import Pipeline, PipelineConfig
 OUTPUT_CHECK_PERIOD_SEC = 10.0  # reference: output_check_thread (output.cpp:936)
 
 
-def _build_output_set(outputs: list[OutputConfig], wave_rate: int, mixers: dict[str, Mixer], highpass: int, lowpass: int, stereo: bool = False) -> OutputSet:
+def _build_output_set(outputs: list[OutputConfig], wave_rate: int, mixers: dict[str, Mixer], highpass: int, lowpass: int, stereo: bool = False, use_localtime: bool = False) -> OutputSet:
     need_mp3 = any(o.type == "icecast" for o in outputs)
     oset = OutputSet(wave_rate, stereo=stereo, need_mp3=need_mp3, highpass=highpass, lowpass=lowpass)
     for o in outputs:
@@ -59,6 +59,7 @@ def _build_output_set(outputs: list[OutputConfig], wave_rate: int, mixers: dict[
                 split_on_transmission=o.split_on_transmission,
                 include_freq=o.include_freq,
                 dated_subdirectories=o.dated_subdirectories,
+                use_localtime=use_localtime,
                 is_iq=o.type == "rawfile",
             )
             (oset.iq_files if o.type == "rawfile" else oset.files).append(fo)
@@ -119,7 +120,7 @@ class App:
         for name, mcfg in cfg.mixers.items():
             m = Mixer(name, wave_batch)
             self.mixers[name] = m
-            self.mixer_outputs[name] = _build_output_set(mcfg.outputs, self.wave_rate, self.mixers, 100, 2500)
+            self.mixer_outputs[name] = _build_output_set(mcfg.outputs, self.wave_rate, self.mixers, 100, 2500, use_localtime=cfg.localtime)
 
         self.devices: list[DeviceRuntime] = []
         for di, d in enumerate(cfg.devices):
@@ -140,7 +141,7 @@ class App:
         for ch in d.channels:
             spec = ch.spec_for(0)
             specs.append(spec)
-            oset = _build_output_set(ch.outputs, self.wave_rate, self.mixers, ch.highpass, ch.lowpass)
+            oset = _build_output_set(ch.outputs, self.wave_rate, self.mixers, ch.highpass, ch.lowpass, use_localtime=self.cfg.localtime)
             fstats = [
                 FreqStats(frequency=f.frequency, label=f.label) for f in ch.freqs
             ]

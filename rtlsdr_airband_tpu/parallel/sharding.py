@@ -51,7 +51,7 @@ def _channel_axis(shape: tuple, channel_dim: int) -> int | None:
     return None
 
 
-def channel_pspec(shape: tuple, channel_dim: int, axis: str = "chan") -> P:
+def channel_pspec(shape: tuple, channel_dim: int, axis: str | tuple = "chan") -> P:
     ax = _channel_axis(shape, channel_dim)
     if ax is None:
         return P()
@@ -137,15 +137,20 @@ def make_sharded_pipeline_step(mesh: Mesh, *, hop: int, fft_size: int, n_frames:
     """Build the jitted multi-chip block step: time-sharded overlap-save
     channelizer → all-to-all reshard → channel-sharded demod scan."""
 
+    # demod is per-channel state recurrence with zero cross-channel
+    # communication — shard channels over EVERY device (both mesh axes), so
+    # the time-axis devices don't idle through the demod stage.
+    call_axes = ("time", "chan")
+
     def step(x, bins, window, params: ChannelParams, state: DemodState):
         mags, iqs = channelize_time_sharded(mesh, x, bins, window, hop=hop, fft_size=fft_size, n_frames=n_frames)
-        # reshard [time-sharded frames, C] -> [frames, chan-sharded C]:
-        # GSPMD inserts the all-to-all over ICI from these constraints.
-        mags = jax.lax.with_sharding_constraint(mags, NamedSharding(mesh, P(None, "chan")))
-        iqs = jax.lax.with_sharding_constraint(iqs, NamedSharding(mesh, P(None, "chan", None)))
+        # reshard [time-sharded frames, C] -> [frames, all-device-sharded C]:
+        # GSPMD lowers this to one all-to-all over ICI.
+        mags = jax.lax.with_sharding_constraint(mags, NamedSharding(mesh, P(None, call_axes)))
+        iqs = jax.lax.with_sharding_constraint(iqs, NamedSharding(mesh, P(None, call_axes, None)))
         cdim = mags.shape[-1]
         state = jax.tree.map(
-            lambda l: jax.lax.with_sharding_constraint(l, NamedSharding(mesh, channel_pspec(l.shape, cdim))), state
+            lambda l: jax.lax.with_sharding_constraint(l, NamedSharding(mesh, channel_pspec(l.shape, cdim, call_axes))), state
         )
         state, audio, iq_out, open_flags = demod_block(params, state, mags, iqs, fm_quadri=fm_quadri, with_ctcss=with_ctcss)
         return state, audio, iq_out, jnp.any(open_flags, axis=0)
