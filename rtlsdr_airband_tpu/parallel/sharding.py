@@ -25,7 +25,16 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.experimental.shard_map import shard_map
+try:
+    from jax import shard_map as _shard_map  # jax >= 0.4.35 (check_vma kwarg)
+
+    def shard_map(f, *, mesh, in_specs, out_specs):
+        return _shard_map(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs, check_vma=False)
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map as _shard_map
+
+    def shard_map(f, *, mesh, in_specs, out_specs):
+        return _shard_map(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs, check_rep=False)
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops.channelizer import make_frames, make_taps
@@ -129,7 +138,6 @@ def channelize_time_sharded(mesh: Mesh, x: jax.Array, bins: jax.Array, window: j
         mesh=mesh,
         in_specs=(P("time", None), P(None, None), P(), P()),
         out_specs=(P("time", None), P("time", None, None)),
-        check_rep=False,
     )(x_body, x_tail, bins, window)
 
 
