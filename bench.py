@@ -6,9 +6,18 @@ workload is 8 channels × 2.56 Msps on a Raspberry-Pi-class CPU (SURVEY.md §6,
 reference constants rtl_airband.h:64-94) = 20.48 channel-Msps; vs_baseline is
 our measured throughput over that anchor.
 
+Measurement protocol (hard-won): the axon TPU tunnel's dispatch is deeply
+asynchronous and ``jax.block_until_ready`` can return before device work is
+done, and repeated identical dispatches can be elided — so we (a) chain K
+blocks with DISTINCT inputs inside one jitted ``lax.scan`` (state threaded
+block-to-block exactly like the streaming pipeline), (b) force completion by
+fetching a small per-block checksum to host with ``np.asarray``, and
+(c) report min-over-reps of wall/K.
+
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
+import functools
 import json
 import os
 import sys
@@ -19,18 +28,21 @@ import numpy as np
 
 def main() -> int:
     import jax
+    import jax.numpy as jnp
 
     from rtlsdr_airband_tpu.utils.jaxcache import enable_persistent_cache
 
     enable_persistent_cache()
 
     from rtlsdr_airband_tpu.models.flagship import build_flagship
-    from rtlsdr_airband_tpu.runtime.pipeline import pipeline_block
+    from rtlsdr_airband_tpu.runtime.pipeline import default_demod_backend, pipeline_block
 
     n_channels = int(os.environ.get("BENCH_CHANNELS", "2048"))
     sample_rate = 2_560_000
     wave_rate = 16000
-    reps = int(os.environ.get("BENCH_REPS", "20"))
+    K = int(os.environ.get("BENCH_BLOCKS", "16"))  # blocks per dispatch
+    reps = int(os.environ.get("BENCH_REPS", "3"))
+    backend = os.environ.get("BENCH_BACKEND", default_demod_backend())
 
     block_kwargs, (x, bins, window, params, state) = build_flagship(
         n_channels=n_channels, sample_rate=sample_rate, wave_rate=wave_rate
@@ -38,21 +50,28 @@ def main() -> int:
     W = block_kwargs["n_frames"]
     hop = block_kwargs["hop"]
 
-    import functools
+    # K distinct input blocks (distinct => no result-caching shortcuts)
+    rng = np.random.default_rng(7)
+    xs = np.asarray(x)[None] + rng.normal(0, 0.01, (K,) + x.shape).astype(np.float32)
+    xs = jnp.asarray(xs)
 
-    fn = jax.jit(functools.partial(pipeline_block, **block_kwargs))
+    fn = functools.partial(pipeline_block, demod_backend=backend, **block_kwargs)
 
-    # warmup / compile
-    state1, out = fn(x, bins, window, params, state)
-    jax.block_until_ready(out["audio"])
+    @jax.jit
+    def run_chain(xs, bins, window, params, state):
+        def body(st, xb):
+            st, out = fn(xb, bins, window, params, st)
+            return st, jnp.sum(jnp.abs(out["audio"]))
+        return jax.lax.scan(body, state, xs)
 
-    # steady state: thread the carried state like the real pipeline does
-    t0 = time.perf_counter()
-    st = state1
-    for _ in range(reps):
-        st, out = fn(x, bins, window, params, st)
-    jax.block_until_ready(out["audio"])
-    dt = (time.perf_counter() - t0) / reps
+    def once():
+        t0 = time.perf_counter()
+        _st, sums = run_chain(xs, bins, window, params, state)
+        np.asarray(sums)  # force full completion through the tunnel
+        return time.perf_counter() - t0
+
+    once()  # warmup / compile
+    dt = min(once() for _ in range(reps)) / K
 
     block_realtime = W / wave_rate  # seconds of signal per block
     input_sps = W * hop / dt  # input samples processed per wall second
@@ -68,6 +87,9 @@ def main() -> int:
             "n_channels": n_channels,
             "block_ms": round(dt * 1e3, 3),
             "realtime_factor": round(block_realtime / dt, 2),
+            "realtime_channel_capacity": int(n_channels * block_realtime / dt),
+            "demod_backend": backend,
+            "blocks_per_dispatch": K,
             "backend": jax.default_backend(),
             "device": str(jax.devices()[0]),
         },

@@ -473,6 +473,40 @@ def _scan_step(p: ChannelParams, st: DemodState, mag, in_r, in_i, fm_quadri: boo
     return st1, out
 
 
+def apply_fade_and_tail(waveout_tail: jax.Array, waveout: jax.Array, fade: jax.Array):
+    """Post-scan waveout assembly: AGC_EXTRA tail carry + AM squelch-close
+    fade-out rewrites (reference: rtl_airband.cpp:542-546 rewrites up to 99
+    already-emitted samples; closes are >= 197 samples apart so fade regions
+    never overlap and one causal depthwise conv applies them all).
+
+    waveout_tail: [A, C] carried tail; waveout: [W, C] scan output;
+    fade: [W, C] bool, true where an AM squelch close fired.
+    Returns (audio [W, C], new_tail [A, C]).
+    """
+    W, C = waveout.shape
+    A = waveout_tail.shape[0]
+    w_full = jnp.concatenate([waveout_tail, waveout], axis=0)  # [A+W, C]
+    L = A + W
+    fade_base = jnp.where(fade, w_full[:W], 0.0)  # base value at index n
+    fade_mark = fade.astype(F32)
+    # kernel length A: k[j] = 0.94^(A-1-j) for j=0..A-2 (i = A-1-j in 1..99), k[A-1]=0
+    kvec = np.concatenate([np.power(np.float32(0.94), np.arange(A - 1, 0, -1, dtype=np.float32)), np.zeros(1, np.float32)])
+
+    def causal_conv(x_wc, kern_vec):
+        x_ncw = jnp.pad(x_wc, ((0, L - x_wc.shape[0]), (0, 0))).T[None, :, :]  # [1, C, L]
+        kern = jnp.tile(jnp.asarray(kern_vec)[None, None, :], (C, 1, 1))  # [C, 1, A]
+        y = jax.lax.conv_general_dilated(
+            x_ncw, kern, window_strides=(1,), padding=[(A - 1, 0)],
+            feature_group_count=C, dimension_numbers=("NCW", "OIW", "NCW"),
+        )
+        return y[0].T  # [L, C]: y[m] = Σ_{i=1..A-1} x[m-i]·0.94^i
+
+    contrib = causal_conv(fade_base, kvec)
+    region = causal_conv(fade_mark, np.concatenate([np.ones(A - 1, np.float32), np.zeros(1, np.float32)]))
+    w_full = jnp.where(region > 0, contrib, w_full)
+    return w_full[:W], w_full[W:]
+
+
 @partial(jax.jit, static_argnames=("fm_quadri", "with_ctcss", "trace"))
 def demod_block(
     params: ChannelParams,
@@ -509,31 +543,8 @@ def demod_block(
     # ---- waveout assembly: tail carry + AM fade-out rewrites ----
     # Fade at scan step n (full buffer index p = n + A) rewrites full indices
     # p-99..p-1 with w_full[p-100] * 0.94^i, i.e. full index n+i gets
-    # w_full[n] * 0.94^i for i = 1..99 (rtl_airband.cpp:542-546).  Closes are
-    # >= open_delay=197 samples apart, so fade regions never overlap and a
-    # causal depthwise conv applies them all at once.
-    w_full = jnp.concatenate([state.waveout_tail, outs["waveout"]], axis=0)  # [A+W, C]
-    L = A + W
-    fade_base = jnp.where(outs["fade"], w_full[:W], 0.0)  # base value at index n
-    fade_mark = outs["fade"].astype(F32)
-    # kernel length A: k[j] = 0.94^(A-1-j) for j=0..A-2 (i = A-1-j in 1..99), k[A-1]=0
-    kvec = np.concatenate([np.power(np.float32(0.94), np.arange(A - 1, 0, -1, dtype=np.float32)), np.zeros(1, np.float32)])
-
-    def causal_conv(x_wc, kern_vec):
-        x_ncw = jnp.pad(x_wc, ((0, L - x_wc.shape[0]), (0, 0))).T[None, :, :]  # [1, C, L]
-        kern = jnp.tile(jnp.asarray(kern_vec)[None, None, :], (C, 1, 1))  # [C, 1, A]
-        y = jax.lax.conv_general_dilated(
-            x_ncw, kern, window_strides=(1,), padding=[(A - 1, 0)],
-            feature_group_count=C, dimension_numbers=("NCW", "OIW", "NCW"),
-        )
-        return y[0].T  # [L, C]: y[m] = Σ_{i=1..A-1} x[m-i]·0.94^i
-
-    contrib = causal_conv(fade_base, kvec)
-    region = causal_conv(fade_mark, np.concatenate([np.ones(A - 1, np.float32), np.zeros(1, np.float32)]))
-    w_full = jnp.where(region > 0, contrib, w_full)
-
-    audio = w_full[:W]
-    new_tail = w_full[W:]
+    # w_full[n] * 0.94^i for i = 1..99 (rtl_airband.cpp:542-546).
+    audio, new_tail = apply_fade_and_tail(state.waveout_tail, outs["waveout"], outs["fade"])
     iq_out = jnp.stack([outs["iq_out_r"], outs["iq_out_i"]], axis=-1)
 
     state2 = state1._replace(iq_tail=new_iq_tail, waveout_tail=new_tail)

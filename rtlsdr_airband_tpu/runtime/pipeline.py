@@ -45,7 +45,15 @@ def channelize_block(x, bins, window, *, hop, fft_size, n_frames, use_fft=False)
     return chan(x, bins, window, hop=hop, fft_size=fft_size, n_frames=n_frames)
 
 
-@partial(jax.jit, static_argnames=("hop", "fft_size", "n_frames", "use_fft", "fm_quadri", "with_ctcss", "with_afc"))
+def default_demod_backend() -> str:
+    """'pallas' on real TPU hardware, 'xla' elsewhere (CPU tests, dry runs)."""
+    try:
+        return "pallas" if jax.devices()[0].platform.startswith("tpu") else "xla"
+    except Exception:
+        return "xla"
+
+
+@partial(jax.jit, static_argnames=("hop", "fft_size", "n_frames", "use_fft", "fm_quadri", "with_ctcss", "with_afc", "demod_backend"))
 def pipeline_block(
     x: jax.Array,  # [L, 2] f32 IQ-pair baseband slice for this block
     bins: jax.Array,  # [C] int32 FFT bin per channel
@@ -60,11 +68,21 @@ def pipeline_block(
     fm_quadri: bool = False,
     with_ctcss: bool = True,
     with_afc: bool = False,
+    demod_backend: str = "auto",
 ):
-    """Fused channelize + demod for one block (the whole device program)."""
+    """Fused channelize + demod for one block (the whole device program).
+
+    demod_backend: 'pallas' (Mosaic kernel, TPU only), 'xla' (lax.scan), or
+    'auto' (pallas on TPU, xla elsewhere)."""
     chan = channelize_fft if use_fft else channelize_matmul
     mags, iqs = chan(x, bins, window, hop=hop, fft_size=fft_size, n_frames=n_frames)
-    state, audio, iq_out, open_flags = demod_block(params, state, mags, iqs, fm_quadri=fm_quadri, with_ctcss=with_ctcss)
+    backend = default_demod_backend() if demod_backend == "auto" else demod_backend
+    if backend == "pallas":
+        from ..ops.demod_pallas import demod_block_pallas
+
+        state, audio, iq_out, open_flags = demod_block_pallas(params, state, mags, iqs, fm_quadri=fm_quadri, with_ctcss=with_ctcss)
+    else:
+        state, audio, iq_out, open_flags = demod_block(params, state, mags, iqs, fm_quadri=fm_quadri, with_ctcss=with_ctcss)
     out = dict(
         audio=audio,  # [W, C]
         iq_out=iq_out,  # [W, C, 2] f32 IQ pairs

@@ -1,0 +1,92 @@
+"""Parity: the Pallas demod kernel vs the XLA lax.scan reference.
+
+Runs in Pallas interpreter mode on the CPU test mesh (the same kernel runs
+compiled on TPU; scripts/verify_pallas_tpu.py checks compiled parity and
+bench.py exercises it for perf).  Audio must match to float32 noise, squelch
+decisions and integer state exactly, across block boundaries, including
+channel counts that don't divide the 1024-channel tile.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from rtlsdr_airband_tpu.constants import AGC_EXTRA
+from rtlsdr_airband_tpu.ops.demod import demod_block
+from rtlsdr_airband_tpu.ops.demod_pallas import demod_block_pallas
+from rtlsdr_airband_tpu.ops.params import ChannelSpec, init_demod_state, make_channel_params
+
+FS, N, CENTER = 2_560_000, 512, 120_000_000
+
+SPECS = [
+    ChannelSpec(frequency=120_400_000, modulation="am"),
+    ChannelSpec(frequency=120_500_000, modulation="am", bandwidth=6000, notch=1000.0, has_iq_outputs=True),
+    ChannelSpec(frequency=120_600_000, modulation="nfm", bandwidth=8000),
+    ChannelSpec(frequency=120_700_000, modulation="nfm", ctcss=100.0),
+    ChannelSpec(frequency=120_800_000, modulation="am", squelch_threshold_dbfs=-40.0),
+    ChannelSpec(frequency=120_900_000, modulation="am", ampfactor=1.3),
+]
+
+
+def _tree_assert_close(st_x, st_p, atol):
+    for name in st_x._fields:
+        lx, lp = getattr(st_x, name), getattr(st_p, name)
+        pairs = (
+            [(f"{name}.{nn}", getattr(lx, nn), getattr(lp, nn)) for nn in lx._fields]
+            if hasattr(lx, "_fields")
+            else [(name, lx, lp)]
+        )
+        for label, vx, vp in pairs:
+            vx, vp = np.asarray(vx), np.asarray(vp)
+            if vx.dtype.kind in "ib":
+                assert np.array_equal(vx, vp), f"state {label} int/bool mismatch"
+            else:
+                d = np.abs(vx.astype(np.float64) - vp.astype(np.float64)).max()
+                assert d <= atol, f"state {label}: maxdiff {d:.3e}"
+
+
+@pytest.mark.parametrize("with_ctcss", [True, False])
+def test_pallas_matches_xla_scan(with_ctcss):
+    specs = SPECS
+    C = len(specs)
+    wr, W, A = 8000, 200, AGC_EXTRA
+    params = make_channel_params(specs, wave_rate=wr, sample_rate=FS, center_freq=CENTER, fft_size=N)
+    rng = np.random.default_rng(0)
+    state = init_demod_state(
+        C,
+        jnp.asarray(np.abs(rng.normal(0, 1.0, (A, C))).astype(np.float32)),
+        jnp.asarray(rng.normal(0, 0.5, (A, C, 2)).astype(np.float32)),
+    )
+    st_x = st_p = state
+    for blk in range(3):
+        # strong signal on block 0 (forces opens/boots), weak after (closes/fades)
+        mags = jnp.asarray(np.abs(rng.normal(0, 1.0, (W, C)) + (3.0 if blk == 0 else 0.0)).astype(np.float32))
+        iqs = jnp.asarray(rng.normal(0, 0.5, (W, C, 2)).astype(np.float32))
+        st_x, a_x, iq_x, o_x = demod_block(params, st_x, mags, iqs, with_ctcss=with_ctcss)
+        st_p, a_p, iq_p, o_p = demod_block_pallas(params, st_p, mags, iqs, with_ctcss=with_ctcss, interpret=True)
+        assert np.abs(np.asarray(a_x) - np.asarray(a_p)).max() < 1e-4
+        assert np.abs(np.asarray(iq_x) - np.asarray(iq_p)).max() < 1e-4
+        assert np.array_equal(np.asarray(o_x), np.asarray(o_p))
+    _tree_assert_close(st_x, st_p, 1e-4)
+
+
+def test_pallas_nondivisible_channel_count():
+    # C=3 exercises the pad-to-1024 path end to end
+    specs = SPECS[:3]
+    C = len(specs)
+    wr, W, A = 8000, 120, AGC_EXTRA
+    params = make_channel_params(specs, wave_rate=wr, sample_rate=FS, center_freq=CENTER, fft_size=N)
+    rng = np.random.default_rng(1)
+    state = init_demod_state(
+        C,
+        jnp.asarray(np.abs(rng.normal(0, 1.0, (A, C))).astype(np.float32)),
+        jnp.asarray(rng.normal(0, 0.5, (A, C, 2)).astype(np.float32)),
+    )
+    mags = jnp.asarray(np.abs(rng.normal(0, 1.0, (W, C)) + 2.0).astype(np.float32))
+    iqs = jnp.asarray(rng.normal(0, 0.5, (W, C, 2)).astype(np.float32))
+    st_x, a_x, _, o_x = demod_block(params, state, mags, iqs)
+    st_p, a_p, _, o_p = demod_block_pallas(params, state, mags, iqs, interpret=True)
+    assert a_p.shape == (W, C)
+    assert np.abs(np.asarray(a_x) - np.asarray(a_p)).max() < 1e-4
+    assert np.array_equal(np.asarray(o_x), np.asarray(o_p))
+    _tree_assert_close(st_x, st_p, 1e-4)
