@@ -103,6 +103,8 @@ FL_ROWS = 18
 CQ_FQ1, CQ_FQ2, CQ_SQ1, CQ_SQ2 = 0, 1, 2, 3
 
 _LUT_STEP = np.float32(2.0 * np.pi / 256.0)
+_SIN_STEP = np.float32(np.sin(2.0 * np.pi / 256.0))
+_COS_STEP = np.float32(np.cos(2.0 * np.pi / 256.0))
 
 
 def _time_chunks(W: int, target: int = 512) -> int:
@@ -299,11 +301,12 @@ def _make_kernel(W: int, WT: int, fm_quadri: bool, with_ctcss: bool):
             idx = jax.lax.shift_right_logical(phi, 16)
             fract = (phi & 0xFFFF).astype(F32) / F32(65536.0)
             ang1 = idx.astype(F32) * _LUT_STEP
-            ang2 = (idx + 1).astype(F32) * _LUT_STEP
             s1 = jnp.sin(ang1)
-            s2 = jnp.sin(ang2)
             c1 = jnp.cos(ang1)
-            c2 = jnp.cos(ang2)
+            # neighbouring table entry by exact angle addition (saves two
+            # transcendentals; differs from sin((idx+1)*step) by ~1e-7)
+            s2 = s1 * _COS_STEP + c1 * _SIN_STEP
+            c2 = c1 * _COS_STEP - s1 * _SIN_STEP
             swf = s1 + (s2 - s1) * fract
             cwf = c1 + (c2 - c1) * fract
             re_d = in_r * cwf + in_i * swf
@@ -419,56 +422,64 @@ def _make_kernel(W: int, WT: int, fm_quadri: bool, with_ctcss: bool):
             if with_ctcss:
                 adv_ct = spa & (cur1 != CLOSED) & ctcss_en
 
-                def bank_step(q1_row, q2_row, coeff, mask, window, ntones, advance,
-                              count_row, enough_row, tone_row, found_row, nfound_row):
-                    q1 = ctq[q1_row]
-                    q2 = ctq[q2_row]
-                    q1 = jnp.where(ctcss_reset[None], F32(0.0), q1)
-                    q2 = jnp.where(ctcss_reset[None], F32(0.0), q2)
-                    count = jnp.where(ctcss_reset, 0, si[count_row])
-                    enough = (si[enough_row] != 0) & ~ctcss_reset
-                    has_tone = (si[tone_row] != 0) & ~ctcss_reset
+                # The whole Goertzel bank (the most expensive per-step work:
+                # 52 tones x 2 banks) runs only on samples where some channel
+                # in the tile is advancing it or resetting it — matching the
+                # reference, which only runs CTCSS while the squelch is
+                # open/closing (squelch.cpp:278-292).  When skipped, no bank
+                # state would change, so the stored values stay valid.
+                @pl.when(jnp.any(adv_ct | ctcss_reset))
+                def _ctcss_banks():
+                    def bank_step(q1_row, q2_row, coeff, mask, window, ntones, advance,
+                                  count_row, enough_row, tone_row, found_row, nfound_row):
+                        q1 = ctq[q1_row]
+                        q2 = ctq[q2_row]
+                        q1 = jnp.where(ctcss_reset[None], F32(0.0), q1)
+                        q2 = jnp.where(ctcss_reset[None], F32(0.0), q2)
+                        count = jnp.where(ctcss_reset, 0, si[count_row])
+                        enough = (si[enough_row] != 0) & ~ctcss_reset
+                        has_tone = (si[tone_row] != 0) & ~ctcss_reset
 
-                    q0 = coeff * q1 - q2 + waveout[None]
-                    adv3 = advance[None]
-                    q2n = jnp.where(adv3, q1, q2)
-                    q1n = jnp.where(adv3, q0, q1)
-                    countn = jnp.where(advance, count + 1, count)
-                    latch = advance & (countn >= window)
+                        q0 = coeff * q1 - q2 + waveout[None]
+                        adv3 = advance[None]
+                        q2n = jnp.where(adv3, q1, q2)
+                        q1n = jnp.where(adv3, q0, q1)
+                        countn = jnp.where(advance, count + 1, count)
+                        latch = advance & (countn >= window)
 
-                    ctq[q1_row] = q1n
-                    ctq[q2_row] = q2n
-                    si[count_row] = countn
-                    si[enough_row] = enough.astype(I32)
-                    si[tone_row] = has_tone.astype(I32)
+                        ctq[q1_row] = q1n
+                        ctq[q2_row] = q2n
+                        si[count_row] = countn
+                        si[enough_row] = enough.astype(I32)
+                        si[tone_row] = has_tone.astype(I32)
 
-                    @pl.when(jnp.any(latch))
-                    def _decide():
-                        q1v = ctq[q1_row]
-                        q2v = ctq[q2_row]
-                        power = q1v * q1v + q2v * q2v - q1v * q2v * coeff
-                        powm = jnp.where(mask, power, -jnp.inf)
-                        maxp = jnp.max(powm, axis=0)
-                        avg = jnp.sum(jnp.where(mask, power, F32(0.0)), axis=0) / ntones
-                        detected = (power[0] == maxp) & (power[0] > avg)
-                        si[tone_row] = ((latch & detected) | (~latch & has_tone)).astype(I32)
-                        si[enough_row] = (enough | latch).astype(I32)
-                        si[found_row] = si[found_row] + jnp.where(latch & detected, 1, 0)
-                        si[nfound_row] = si[nfound_row] + jnp.where(latch & ~detected, 1, 0)
-                        latch3 = latch[None]
-                        ctq[q1_row] = jnp.where(latch3, F32(0.0), q1v)
-                        ctq[q2_row] = jnp.where(latch3, F32(0.0), q2v)
-                        si[count_row] = jnp.where(latch, 0, countn)
+                        @pl.when(jnp.any(latch))
+                        def _decide():
+                            q1v = ctq[q1_row]
+                            q2v = ctq[q2_row]
+                            power = q1v * q1v + q2v * q2v - q1v * q2v * coeff
+                            powm = jnp.where(mask, power, -jnp.inf)
+                            maxp = jnp.max(powm, axis=0)
+                            avg = jnp.sum(jnp.where(mask, power, F32(0.0)), axis=0) / ntones
+                            detected = (power[0] == maxp) & (power[0] > avg)
+                            si[tone_row] = ((latch & detected) | (~latch & has_tone)).astype(I32)
+                            si[enough_row] = (enough | latch).astype(I32)
+                            si[found_row] = si[found_row] + jnp.where(latch & detected, 1, 0)
+                            si[nfound_row] = si[nfound_row] + jnp.where(latch & ~detected, 1, 0)
+                            latch3 = latch[None]
+                            ctq[q1_row] = jnp.where(latch3, F32(0.0), q1v)
+                            ctq[q2_row] = jnp.where(latch3, F32(0.0), q2v)
+                            si[count_row] = jnp.where(latch, 0, countn)
 
-                    return si[enough_row] != 0, si[tone_row] != 0
+                    bank_step(CQ_SQ1, CQ_SQ2, cf_ref[1, :, 0], cm_ref[1, :, 0] > 0.5, p_swin, p_snt,
+                              adv_ct, SI_SCOUNT, SI_SENOUGH, SI_STONE, SI_SFOUND, SI_SNFOUND)
+                    adv_fast = adv_ct & ~(si[SI_SENOUGH] != 0)
+                    bank_step(CQ_FQ1, CQ_FQ2, cf_ref[0, :, 0], cm_ref[0, :, 0] > 0.5, p_fwin, p_fnt,
+                              adv_fast, SI_FCOUNT, SI_FENOUGH, SI_FTONE, SI_FFOUND, SI_FNFOUND)
 
-                slow_enough, slow_tone = bank_step(
-                    CQ_SQ1, CQ_SQ2, cf_ref[1, :, 0], cm_ref[1, :, 0] > 0.5, p_swin, p_snt,
-                    adv_ct, SI_SCOUNT, SI_SENOUGH, SI_STONE, SI_SFOUND, SI_SNFOUND)
-                adv_fast = adv_ct & ~slow_enough
-                _fast_enough, fast_tone = bank_step(
-                    CQ_FQ1, CQ_FQ2, cf_ref[0, :, 0], cm_ref[0, :, 0] > 0.5, p_fwin, p_fnt,
-                    adv_fast, SI_FCOUNT, SI_FENOUGH, SI_FTONE, SI_FFOUND, SI_FNFOUND)
+                slow_enough = si[SI_SENOUGH] != 0
+                slow_tone = si[SI_STONE] != 0
+                fast_tone = si[SI_FTONE] != 0
                 tone_ok = (slow_enough & slow_tone) | (~slow_enough & fast_tone)
                 gate = tone_ok | ~ctcss_en
             else:

@@ -141,9 +141,25 @@ def channelize_time_sharded(mesh: Mesh, x: jax.Array, bins: jax.Array, window: j
     )(x_body, x_tail, bins, window)
 
 
-def make_sharded_pipeline_step(mesh: Mesh, *, hop: int, fft_size: int, n_frames: int, fm_quadri: bool = False, with_ctcss: bool = True):
+def make_sharded_pipeline_step(
+    mesh: Mesh,
+    *,
+    hop: int,
+    fft_size: int,
+    n_frames: int,
+    fm_quadri: bool = False,
+    with_ctcss: bool = True,
+    demod_backend: str = "xla",
+    pallas_interpret: bool = False,
+):
     """Build the jitted multi-chip block step: time-sharded overlap-save
-    channelizer → all-to-all reshard → channel-sharded demod scan."""
+    channelizer → all-to-all reshard → channel-sharded demod scan.
+
+    demod_backend='pallas' runs the Mosaic demod kernel per channel shard
+    under an explicit shard_map (each device's shard is one independent
+    kernel launch — the demod stage has zero cross-channel communication);
+    'xla' (default) lets GSPMD partition the lax.scan path, which is what the
+    CPU mesh dry-runs use."""
 
     # demod is per-channel state recurrence with zero cross-channel
     # communication — shard channels over EVERY device (both mesh axes), so
@@ -160,7 +176,25 @@ def make_sharded_pipeline_step(mesh: Mesh, *, hop: int, fft_size: int, n_frames:
         state = jax.tree.map(
             lambda l: jax.lax.with_sharding_constraint(l, NamedSharding(mesh, channel_pspec(l.shape, cdim, call_axes))), state
         )
-        state, audio, iq_out, open_flags = demod_block(params, state, mags, iqs, fm_quadri=fm_quadri, with_ctcss=with_ctcss)
+        if demod_backend == "pallas":
+            from ..ops.demod_pallas import demod_block_pallas
+
+            def local_demod(params, state, mags, iqs):
+                return demod_block_pallas(
+                    params, state, mags, iqs,
+                    fm_quadri=fm_quadri, with_ctcss=with_ctcss, interpret=pallas_interpret,
+                )
+
+            pspec = jax.tree.map(lambda l: channel_pspec(l.shape, cdim, call_axes), params)
+            sspec = jax.tree.map(lambda l: channel_pspec(l.shape, cdim, call_axes), state)
+            state, audio, iq_out, open_flags = shard_map(
+                local_demod,
+                mesh=mesh,
+                in_specs=(pspec, sspec, P(None, call_axes), P(None, call_axes, None)),
+                out_specs=(sspec, P(None, call_axes), P(None, call_axes, None), P(None, call_axes)),
+            )(params, state, mags, iqs)
+        else:
+            state, audio, iq_out, open_flags = demod_block(params, state, mags, iqs, fm_quadri=fm_quadri, with_ctcss=with_ctcss)
         return state, audio, iq_out, jnp.any(open_flags, axis=0)
 
     return jax.jit(step)

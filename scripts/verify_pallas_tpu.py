@@ -8,10 +8,13 @@ TPU attached: ``python scripts/verify_pallas_tpu.py``.
 """
 
 import functools
+import os
 import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> int:
