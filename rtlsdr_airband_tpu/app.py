@@ -18,7 +18,7 @@ import numpy as np
 
 from .constants import AGC_EXTRA
 from .inputs.base import Input, InputState, input_new
-from .logutil import LOG_INFO, LOG_NOTICE, LOG_WARNING, log
+from .logutil import LOG_INFO, LOG_NOTICE, LOG_WARNING, debug_print, log
 from .ops.levels import level_to_dbfs
 from .outputs.dispatch import OutputSet, TagQueue
 from .outputs.filemgr import FileOutput
@@ -261,8 +261,14 @@ class App:
             if raw is None:
                 continue
             worked = True
+            t0 = time.perf_counter()
+            n_blocks = 0
             for out in rt.pipeline.feed(raw):
                 self._handle_block(rt, out)
+                n_blocks += 1
+            if n_blocks:
+                # loop-latency debug trace (reference: rtl_airband.cpp:656-661)
+                debug_print(f"device {rt.stats.index}: {n_blocks} block(s) in {(time.perf_counter() - t0) * 1e3:.2f} ms")
         self._service_mixers()
         self._service_outputs_check()
         if self.stats_writer is not None:
@@ -348,6 +354,7 @@ class App:
 
     def _retune_scan(self, rt: DeviceRuntime, new_center: int) -> None:
         """reference: controller_thread hop (rtl_airband.cpp:112-123)."""
+        debug_print(f"device {rt.stats.index}: scan retune center -> {new_center / 1e6:.4f} MHz")
         sc = rt.scan
         ch0 = rt.channels[0]
         ch0.freq_idx = sc.st.freq_idx

@@ -28,8 +28,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-c", dest="config", default=DEFAULT_CONF, help=f"config file path (default {DEFAULT_CONF})")
     p.add_argument("-v", dest="version", action="store_true", help="print version and exit")
     p.add_argument("-Q", dest="fm_quadri", action="store_true", help="use quadri-correlator FM discriminator instead of atan2")
+    p.add_argument("-d", dest="debug_file", default=None, metavar="FILE", help="write debug log to FILE (reference: -d)")
     p.add_argument("--pidfile", default=None, help="pidfile path when daemonized")
     p.add_argument("--max-seconds", type=float, default=None, help="exit after N seconds (testing)")
+    p.add_argument("--profile", default=None, metavar="DIR", help="capture a JAX profiler trace of the run into DIR (TensorBoard format)")
     return p
 
 
@@ -56,6 +58,10 @@ def main(argv: list[str] | None = None) -> int:
 
     foreground = args.foreground or args.foreground_tui
     init_logging("stderr" if (args.stderr_log or foreground) else "syslog")
+    if args.debug_file:
+        from .logutil import init_debug
+
+        init_debug(args.debug_file)
 
     from .utils.jaxcache import enable_persistent_cache
 
@@ -83,7 +89,15 @@ def main(argv: list[str] | None = None) -> int:
     for sig in (signal.SIGINT, signal.SIGTERM, signal.SIGQUIT):
         signal.signal(sig, on_signal)
 
-    app.run(max_seconds=args.max_seconds)
+    if args.profile:
+        # reference analog: gperftools behind WITH_PROFILING
+        # (rtl_airband.cpp:702-703,1160-1162)
+        import jax
+
+        with jax.profiler.trace(args.profile):
+            app.run(max_seconds=args.max_seconds)
+    else:
+        app.run(max_seconds=args.max_seconds)
     if args.pidfile and os.path.exists(args.pidfile):
         os.unlink(args.pidfile)
     return 0

@@ -38,3 +38,26 @@ def log(level: int, msg: str) -> None:
 def error(msg: str) -> None:
     log(LOG_ERR, msg)
     raise SystemExit(1)
+
+
+# --- debug file (reference: -d flag + debug_print, logging.h:32-46) ---------
+
+_DEBUG_FILE = None
+
+
+def init_debug(filepath: str | None) -> None:
+    """Open the debug log file (reference: init_debug, logging.cpp:36-47)."""
+    global _DEBUG_FILE
+    if _DEBUG_FILE is not None:
+        _DEBUG_FILE.close()
+        _DEBUG_FILE = None
+    if filepath:
+        _DEBUG_FILE = open(filepath, "a", buffering=1)
+
+
+def debug_print(msg: str) -> None:
+    """No-op unless a debug file is configured (reference: debug_print)."""
+    if _DEBUG_FILE is not None:
+        import time as _time
+
+        _DEBUG_FILE.write(f"{_time.time():.6f} {msg}\n")
