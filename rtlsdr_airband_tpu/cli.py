@@ -75,8 +75,9 @@ def main(argv: list[str] | None = None) -> int:
         print(f"error: {e}", file=sys.stderr)
         return 2
 
+    pidfile = args.pidfile or cfg.pidfile
     if not foreground:
-        daemonize(args.pidfile)
+        daemonize(pidfile)
 
     from .app import App
 
@@ -98,8 +99,8 @@ def main(argv: list[str] | None = None) -> int:
             app.run(max_seconds=args.max_seconds)
     else:
         app.run(max_seconds=args.max_seconds)
-    if args.pidfile and os.path.exists(args.pidfile):
-        os.unlink(args.pidfile)
+    if pidfile and os.path.exists(pidfile):
+        os.unlink(pidfile)
     return 0
 
 

@@ -169,6 +169,7 @@ class GlobalConfig:
     log_scan_activity: bool = False
     stats_filepath: str | None = None
     tau_us: float | None = None
+    pidfile: str | None = None
     wave_rate: int | None = None  # None = auto (16000 if any NFM, else 8000)
 
     def resolved_wave_rate(self) -> int:
@@ -238,6 +239,11 @@ def _parse_channel(ch: dict, dev: DeviceConfig, where: str, default_tau: float |
             return [default] * n
         return _per_freq(ch[key], n, caster, f"{where}.{key}")
 
+    if "squelch" in ch:
+        # reference: config.cpp:431-433
+        import sys
+
+        print("Warning: 'squelch' no longer supported and will be ignored, use 'squelch_threshold' or 'squelch_snr_threshold' instead", file=sys.stderr)
     sq_thr = opt("squelch_threshold", float, None)
     sq_snr = opt("squelch_snr_threshold", float, None)
     notch = opt("notch", float, 0.0)
@@ -379,6 +385,7 @@ def parse_config(doc: dict) -> GlobalConfig:
         log_scan_activity=bool(doc.get("log_scan_activity", False)),
         stats_filepath=doc.get("stats_filepath"),
         tau_us=default_tau,
+        pidfile=doc.get("pidfile"),
         wave_rate=int(doc["wave_rate"]) if "wave_rate" in doc else None,
     )
 
