@@ -37,7 +37,7 @@ def main() -> int:
     from rtlsdr_airband_tpu.models.flagship import build_flagship
     from rtlsdr_airband_tpu.runtime.pipeline import default_demod_backend, pipeline_block
 
-    n_channels = int(os.environ.get("BENCH_CHANNELS", "2048"))
+    n_channels = int(os.environ.get("BENCH_CHANNELS", "8192"))
     sample_rate = 2_560_000
     wave_rate = 16000
     K = int(os.environ.get("BENCH_BLOCKS", "16"))  # blocks per dispatch

@@ -5,8 +5,10 @@ Same semantics as :func:`rtlsdr_airband_tpu.ops.demod.demod_block` (the XLA
 src/rtl_airband.cpp:495-648 + squelch.cpp/ctcss.cpp/filters.cpp), but as a
 single Mosaic kernel:
 
- - channels are tiled (8 sublanes x 128 lanes) = 1024 channels per grid step,
-   so every per-sample op is one full-width VPU instruction;
+ - channels are tiled (sublanes x 128 lanes) per grid step — 8x128=1024 for
+   small populations, up to 32x128=4096 for large ones: the loop is
+   latency-bound, so wider tiles ride the VPU pipeline at no extra wall
+   time (measured ~4x throughput at 4096-channel tiles on v5e);
  - ALL recurrent state (squelch FSM, moving averages, AGC, biquads, Goertzel
    banks, the 102-slot pre/post ring and the 100-sample wavein delay line)
    lives in VMEM scratch for the whole block - zero HBM traffic per step,
@@ -74,8 +76,21 @@ from .goertzel import MAX_TONES
 F32 = jnp.float32
 I32 = jnp.int32
 
-SUBL, LANE = 8, 128
-TILE = SUBL * LANE  # channels per grid step
+LANE = 128
+
+
+def _tile_shape(C: int) -> tuple[int, int]:
+    """(sublanes, channels-per-tile).  The per-sample loop is latency-bound,
+    not throughput-bound: measured on v5e, a (32,128) elementwise op chain
+    costs the same wall time per step as (8,128) — wider tiles ride the VPU
+    pipeline for free — so large channel counts use 4096-channel tiles."""
+    if C <= 1024:
+        subl = 8
+    elif C <= 2048:
+        subl = 16
+    else:
+        subl = 32
+    return subl, subl * LANE
 
 # --- packed row layouts (params/state stacked into few refs) ---
 # f32 params
@@ -563,9 +578,9 @@ def _pad_c(a, fill, C, Cp):
     return jnp.pad(a, pad, constant_values=fill)
 
 
-def _tile(a, G):
-    """[..., Cp] -> [..., G, SUBL, LANE]."""
-    return a.reshape(a.shape[:-1] + (G, SUBL, LANE))
+def _tile(a, G, subl):
+    """[..., Cp] -> [..., G, subl, LANE]."""
+    return a.reshape(a.shape[:-1] + (G, subl, LANE))
 
 
 @partial(jax.jit, static_argnames=("fm_quadri", "with_ctcss", "interpret"))
@@ -585,9 +600,11 @@ def demod_block_pallas(
     """
     W, C = mags.shape
     A = AGC_EXTRA
+    SUBL, TILE = _tile_shape(C)
     G = -(-C // TILE)
     Cp = G * TILE
-    WT = _time_chunks(W)
+    # keep data blocks a constant byte size as tiles widen (VMEM budget)
+    WT = _time_chunks(W, target=512 * 8 // SUBL)
     T = W // WT
 
     f32 = lambda a: a.astype(F32)
@@ -617,15 +634,15 @@ def demod_block_pallas(
         _pad_c(msk(p.notch_enabled), 0.0, C, Cp),
         _pad_c(msk(p.ctcss_enabled), 0.0, C, Cp),
     ])
-    pf = _tile(pf, G)
+    pf = _tile(pf, G, SUBL)
     pi = jnp.stack([
         _pad_c(p.dm_dphi.astype(I32), 0, C, Cp),  # < 2^24: exact in int32
         _pad_c(p.fast_window.astype(I32), 1 << 30, C, Cp),
         _pad_c(p.slow_window.astype(I32), 1 << 30, C, Cp),
     ])
-    pi = _tile(pi, G)
-    cf = _tile(jnp.stack([_pad_c(f32(p.fast_coeff), 0.0, C, Cp), _pad_c(f32(p.slow_coeff), 0.0, C, Cp)]), G)
-    cm = _tile(jnp.stack([_pad_c(msk(p.fast_mask), 0.0, C, Cp), _pad_c(msk(p.slow_mask), 0.0, C, Cp)]), G)
+    pi = _tile(pi, G, SUBL)
+    cf = _tile(jnp.stack([_pad_c(f32(p.fast_coeff), 0.0, C, Cp), _pad_c(f32(p.slow_coeff), 0.0, C, Cp)]), G, SUBL)
+    cm = _tile(jnp.stack([_pad_c(msk(p.fast_mask), 0.0, C, Cp), _pad_c(msk(p.slow_mask), 0.0, C, Cp)]), G, SUBL)
 
     # ---- pack state ----
     st = state
@@ -639,7 +656,7 @@ def demod_block_pallas(
         _pad_c(f32(st.pr), 0.0, C, Cp),
         _pad_c(f32(st.pj), 0.0, C, Cp),
         _pad_c(f32(st.prev_waveout), 0.0, C, Cp),
-    ]), G)
+    ]), G, SUBL)
     si_in = _tile(jnp.stack([
         _pad_c(st.cur.astype(I32), CLOSED, C, Cp),
         _pad_c(st.nxt.astype(I32), CLOSED, C, Cp),
@@ -662,7 +679,7 @@ def demod_block_pallas(
         _pad_c(st.slow.has_tone.astype(I32), 0, C, Cp),
         _pad_c(st.slow.found.astype(I32), 0, C, Cp),
         _pad_c(st.slow.not_found.astype(I32), 0, C, Cp),
-    ]), G)
+    ]), G, SUBL)
     fl_in = _tile(jnp.concatenate([
         _pad_c(f32(st.lp_xr), 0.0, C, Cp),
         _pad_c(f32(st.lp_xi), 0.0, C, Cp),
@@ -670,21 +687,21 @@ def demod_block_pallas(
         _pad_c(f32(st.lp_yi), 0.0, C, Cp),
         _pad_c(f32(st.notch_x), 0.0, C, Cp),
         _pad_c(f32(st.notch_y), 0.0, C, Cp),
-    ], axis=0), G)
-    sqb_in = _tile(_pad_c(f32(st.sq_buffer), 0.0, C, Cp), G)
-    dl_in = _tile(_pad_c(f32(st.wavein_delay), 0.0, C, Cp), G)
+    ], axis=0), G, SUBL)
+    sqb_in = _tile(_pad_c(f32(st.sq_buffer), 0.0, C, Cp), G, SUBL)
+    dl_in = _tile(_pad_c(f32(st.wavein_delay), 0.0, C, Cp), G, SUBL)
     ctq_in = _tile(jnp.stack([
         _pad_c(f32(st.fast.q1), 0.0, C, Cp),
         _pad_c(f32(st.fast.q2), 0.0, C, Cp),
         _pad_c(f32(st.slow.q1), 0.0, C, Cp),
         _pad_c(f32(st.slow.q2), 0.0, C, Cp),
-    ]), G)
+    ]), G, SUBL)
 
     # ---- data: iq stream with AGC_EXTRA lag (rtl_airband.cpp:497-498) ----
     iq_stream = jnp.concatenate([st.iq_tail, iqs[: W - A]], axis=0)  # [W, C, 2]
-    mags_t = _tile(_pad_c(mags, 0.0, C, Cp), G)
-    inr_t = _tile(_pad_c(iq_stream[..., 0], 0.0, C, Cp), G)
-    ini_t = _tile(_pad_c(iq_stream[..., 1], 0.0, C, Cp), G)
+    mags_t = _tile(_pad_c(mags, 0.0, C, Cp), G, SUBL)
+    inr_t = _tile(_pad_c(iq_stream[..., 0], 0.0, C, Cp), G, SUBL)
+    ini_t = _tile(_pad_c(iq_stream[..., 1], 0.0, C, Cp), G, SUBL)
 
     kernel = _make_kernel(W, WT, fm_quadri, with_ctcss)
 
