@@ -44,7 +44,7 @@ def _build_output_set(outputs: list[OutputConfig], wave_rate: int, mixers: dict[
             ice = IcecastOutput(
                 o.server, o.port, o.mountpoint, o.username, o.password,
                 name=o.name, genre=o.genre, description=o.description,
-                send_scan_freq_tags=o.send_scan_freq_tags,
+                send_scan_freq_tags=o.send_scan_freq_tags, tls=o.tls,
             )
             oset.icecasts.append(ice)
         elif o.type in ("file", "rawfile"):

@@ -32,7 +32,13 @@ class IcecastOutput:
         description: str = "",
         content_type: str = "audio/mpeg",
         send_scan_freq_tags: bool = False,
+        tls: str = "disabled",
     ):
+        # TLS modes mirror the reference's libshout mapping
+        # (config.cpp:59-93): disabled | auto (try TLS, fall back to plain) |
+        # auto_no_plain (TLS only) | transport (TLS-on-connect, RFC2818) |
+        # upgrade (treated as TLS-on-connect here)
+        self.tls = tls
         self.server = server
         self.port = port
         self.mountpoint = mountpoint if mountpoint.startswith("/") else "/" + mountpoint
@@ -58,8 +64,10 @@ class IcecastOutput:
         cadence)."""
         self.last_attempt = time.time()
         try:
-            s = socket.create_connection((self.server, self.port), timeout=timeout)
+            s = self._open_socket(timeout)
         except OSError:
+            return False
+        if s is None:
             return False
         auth = base64.b64encode(f"{self.username}:{self.password}".encode()).decode()
         headers = [
@@ -90,6 +98,27 @@ class IcecastOutput:
         s.setblocking(False)
         self.sock = s
         return True
+
+    def _open_socket(self, timeout: float):
+        """Plain or TLS transport per the configured mode."""
+        plain = socket.create_connection((self.server, self.port), timeout=timeout)
+        if self.tls in ("", "disabled", None):
+            return plain
+        import ssl
+
+        ctx = ssl.create_default_context()
+        ctx.check_hostname = False
+        ctx.verify_mode = ssl.CERT_NONE  # reference: shout TLS without CA config
+        try:
+            return ctx.wrap_socket(plain, server_hostname=self.server)
+        except (OSError, ssl.SSLError):
+            plain.close()
+            if self.tls == "auto":  # fall back to plaintext
+                try:
+                    return socket.create_connection((self.server, self.port), timeout=timeout)
+                except OSError:
+                    return None
+            return None
 
     def disconnect(self) -> None:
         if self.sock is not None:
