@@ -76,6 +76,7 @@ def main(argv: list[str] | None = None) -> int:
         return 2
 
     pidfile = args.pidfile or cfg.pidfile
+    wrote_pidfile = bool(pidfile) and not foreground
     if not foreground:
         daemonize(pidfile)
 
@@ -99,7 +100,9 @@ def main(argv: list[str] | None = None) -> int:
             app.run(max_seconds=args.max_seconds)
     else:
         app.run(max_seconds=args.max_seconds)
-    if pidfile and os.path.exists(pidfile):
+    # only remove a pidfile this process actually wrote (a foreground run
+    # must not delete a concurrently running daemon's pidfile)
+    if wrote_pidfile and os.path.exists(pidfile):
         os.unlink(pidfile)
     return 0
 

@@ -161,7 +161,9 @@ class IcecastOutput:
         """Scan-frequency 'song' tag via the admin metadata endpoint
         (reference: shout_set_metadata, output.cpp:480-497)."""
         try:
-            s = socket.create_connection((self.server, self.port), timeout=timeout)
+            s = self._open_socket(timeout)  # same transport (TLS mode) as the stream
+            if s is None:
+                return False
             auth = base64.b64encode(f"{self.username}:{self.password}".encode()).decode()
             path = f"/admin/metadata?mode=updinfo&mount={quote(self.mountpoint)}&song={quote(song)}"
             s.sendall(

@@ -67,29 +67,42 @@ def host_input_range(mesh: Mesh, *, n_frames: int, hop: int, fft_size: int) -> l
     return out
 
 
-def make_global_input(mesh: Mesh, local_body_slices: dict[int, np.ndarray], tail: np.ndarray, *, n_frames: int, hop: int) -> jax.Array:
+@jax.jit
+def _concat_body_tail(a, b):
+    return jax.numpy.concatenate([a, b], axis=0)
+
+
+def make_global_input(mesh: Mesh, local_body_slices: dict[int, np.ndarray], tail: np.ndarray | None, *, n_frames: int, hop: int, halo: int) -> jax.Array:
     """Assemble the global [body+halo, 2] input block from per-host pieces.
 
     local_body_slices maps time-shard index -> this host's [local_body, 2]
-    IQ pairs (the shards :func:`host_input_range` assigned to this process);
-    ``tail`` is the final fft_size-hop halo (every host passes it; it is
-    replicated).  Returns the global x ready for the sharded step, which
-    slices body/tail itself inside jit."""
+    IQ pairs (the shards :func:`host_input_range` assigned to this process).
+    ``tail`` is the final ``halo`` = fft_size-hop look-ahead samples; only
+    the process whose ranges included a nonzero halo_len ingests it (it owns
+    the end of the stream) — everyone else passes ``tail=None`` and receives
+    it here via a one-to-all broadcast before it is replicated.  Returns the
+    global x ready for the sharded step, which slices body/tail inside jit."""
+    from jax.experimental import multihost_utils
+
     body = n_frames * hop
     shards = sorted(local_body_slices.items())
     local = np.concatenate([s for _, s in shards], axis=0) if shards else np.zeros((0, 2), np.float32)
     body_arr = jax.make_array_from_process_local_data(
         NamedSharding(mesh, P("time", None)), local, global_shape=(body, 2)
     )
+    if tail is None:
+        tail_local = np.zeros((halo, 2), np.float32)
+        is_source = False
+    else:
+        tail_local = np.asarray(tail, np.float32)
+        assert tail_local.shape == (halo, 2), tail_local.shape
+        is_source = True
+    if jax.process_count() > 1:
+        tail_local = np.asarray(multihost_utils.broadcast_one_to_all(tail_local, is_source=is_source))
     tail_arr = jax.make_array_from_process_local_data(
-        NamedSharding(mesh, P()), np.asarray(tail, np.float32), global_shape=tail.shape
+        NamedSharding(mesh, P()), tail_local, global_shape=(halo, 2)
     )
-
-    @jax.jit
-    def concat(a, b):
-        return jax.numpy.concatenate([a, b], axis=0)
-
-    return concat(body_arr, tail_arr)
+    return _concat_body_tail(body_arr, tail_arr)
 
 
 def local_audio_shards(audio: jax.Array):

@@ -207,6 +207,9 @@ def _parse_outputs(lst: Any, where: str) -> list[OutputConfig]:
             raise ConfigError(f"{where}.outputs[{i}]: udp_stream needs dest_address and dest_port")
         if typ == "icecast" and not (out.server and out.mountpoint):
             raise ConfigError(f"{where}.outputs[{i}]: icecast needs server and mountpoint")
+        if typ == "icecast" and out.tls not in ("disabled", "auto", "auto_no_plain", "transport", "upgrade"):
+            # reference: config.cpp:59-93 errors on unknown tls values
+            raise ConfigError(f"{where}.outputs[{i}]: invalid tls mode {out.tls!r}")
         outs.append(out)
     if not outs:
         raise ConfigError(f"{where}: no outputs enabled")

@@ -56,7 +56,17 @@ def channel_sweep(counts, K=8, reps=3):
             np.asarray(sums)
             return time.perf_counter() - t0
 
-        once()
+        try:
+            once()
+        except Exception as e:  # same fallback as bench.py
+            if backend == "pallas":
+                print(f"pallas failed ({type(e).__name__}); falling back to xla", file=sys.stderr)
+                backend = "xla"
+                fn = functools.partial(pipeline_block, demod_backend=backend, **kw)
+                chain = jax.jit(chain.__wrapped__)
+                once()
+            else:
+                raise
         dt = min(once() for _ in range(reps)) / K
         msps = C * kw["n_frames"] * kw["hop"] / dt / 1e6
         print(json.dumps({

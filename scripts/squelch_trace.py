@@ -17,7 +17,10 @@ Read it back with:
     # d["cur"], d["nxt"]  int32 squelch state per audio sample
     #   (0 CLOSED, 1 OPENING, 2 CLOSING, 3 LOW_SIGNAL_ABORT, 4 OPEN)
     # d["noise_floor"], d["pre_capped"], d["agc"] float32
-    # d["delay"] int32, d["waveout"] float32 emitted audio
+    # d["delay"] int32
+    # d["waveout"]  raw scan output, index-aligned with the state series
+    # d["audio"]    emitted audio (tail-carried + AM fade-out applied);
+    #               audio[j] corresponds to scan/state index j - AGC_EXTRA
 
 and plot e.g.:
 
@@ -90,14 +93,15 @@ def main() -> int:
     state = init_demod_state(1, mags0, iqs0)
     pos = A * hop
 
-    rows = {k: [] for k in ("cur", "nxt", "noise_floor", "pre_capped", "agc", "delay", "waveout")}
+    rows = {k: [] for k in ("cur", "nxt", "noise_floor", "pre_capped", "agc", "delay", "waveout", "audio")}
     block_len = (W - 1) * hop + N
     while pos + block_len <= len(x):
         mags, iqs = channelize_block(jnp.asarray(x[pos : pos + block_len]), bins, window, hop=hop, fft_size=N, n_frames=W)
         state, audio_b, _iq, _open, tr = demod_block(params, state, mags, iqs, trace=True)
         keymap = {"noise_floor": "nf"}
         for k in rows:
-            rows[k].append(np.asarray(tr[keymap.get(k, k)])[:, 0])
+            src = audio_b if k == "audio" else tr[keymap.get(k, k)]
+            rows[k].append(np.asarray(src)[:, 0])
         pos += W * hop
 
     if not rows["cur"]:

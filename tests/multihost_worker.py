@@ -49,14 +49,20 @@ def main() -> int:
     # per-host ingest: only my time slice (plus tail halo if I own the last shard)
     x_np = np.asarray(x)
     body = W * hop
+    halo = N - hop
     ranges = multihost.host_input_range(mesh, n_frames=W, hop=hop, fft_size=N)
     assert ranges, "every process should own at least one time shard"
     local = {}
     T = mesh.shape["time"]
     local_body = body // T
-    for off, blen, _halo in ranges:
+    owns_tail = False
+    for off, blen, halo_len in ranges:
         local[off // local_body] = x_np[off : off + blen]
-    xg = multihost.make_global_input(mesh, local, x_np[body:], n_frames=W, hop=hop)
+        owns_tail |= halo_len > 0
+    # only the owner of the stream end ingests the tail; others receive it
+    # via the broadcast inside make_global_input
+    tail = x_np[body:] if owns_tail else None
+    xg = multihost.make_global_input(mesh, local, tail, n_frames=W, hop=hop, halo=halo)
 
     args = (xg, replicate(mesh, bins), replicate(mesh, window), shard_last(mesh, params), shard_last(mesh, state))
     st, audio, iq_out, active = step(*args)
