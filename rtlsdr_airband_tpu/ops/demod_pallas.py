@@ -132,18 +132,6 @@ def _time_chunks(W: int, target: int = 512) -> int:
     return best
 
 
-def _set_state_valid(cur, upd_const):
-    """Transition-validity table (reference: squelch.cpp:297-361)."""
-    u = jnp.full_like(cur, upd_const)
-    u = jnp.where((cur == CLOSED) & ((u == CLOSING) | (u == LSA)), CLOSED, u)
-    u = jnp.where((cur == CLOSED) & (u == OPEN), OPENING, u)
-    u = jnp.where((cur == OPENING) & (u == LSA), CLOSED, u)
-    u = jnp.where((cur == LSA) & (u != LSA) & (u != CLOSED), CLOSED, u)
-    u = jnp.where((cur == OPEN) & (u == CLOSED), CLOSING, u)
-    u = jnp.where((cur == OPEN) & (u == OPENING), OPEN, u)
-    return u
-
-
 def _fast_atan2(y, x):
     """reference: rtl_airband.cpp:147-166."""
     yabs = jnp.abs(y)
@@ -297,14 +285,19 @@ def _make_kernel(W: int, WT: int, fm_quadri: bool, with_ctcss: bool):
             has_pre = pre_capped1 >= lvl1
             has_sig = has_pre & (~upf1 | (st_postc >= buf_tail))
 
-            nxt2 = jnp.where((cur1 == OPEN) & ~has_sig, _set_state_valid(cur1, CLOSING), nxt1)
-            nxt2 = jnp.where((cur1 == CLOSED) & has_sig, _set_state_valid(cur1, OPENING), nxt2)
+            # set_state(...) with the validity table collapsed under each
+            # call-site's mask (exhaustively equal to _set_state_valid —
+            # see tests/test_demod_pallas.py::test_transition_specializations):
+            # cur==OPEN -> CLOSING stays CLOSING; cur==CLOSED -> OPENING stays
+            nxt2 = jnp.where((cur1 == OPEN) & ~has_sig, CLOSING, nxt1)
+            nxt2 = jnp.where((cur1 == CLOSED) & has_sig, OPENING, nxt2)
 
             active = (cur1 != CLOSED) & (cur1 != LSA)
             below = s < lvl1
             lsc2 = jnp.where(active, jnp.where(below, lsc1 + 1, 0), lsc1)
             lsa_fire = active & below & (lsc2 >= LOW_SIGNAL_ABORT)
-            nxt3 = jnp.where(lsa_fire, _set_state_valid(cur1, LSA), nxt2)
+            # under active (cur in {OPENING,CLOSING,OPEN}): LSA except OPENING->CLOSED
+            nxt3 = jnp.where(lsa_fire, jnp.where(cur1 == OPENING, CLOSED, LSA), nxt2)
 
             # ======== filtering path (rtl_airband.cpp:507-529) ========
             should_filter = (has_pre | (cur1 != CLOSED)) & (cur1 != LSA)
@@ -378,7 +371,8 @@ def _make_kernel(W: int, WT: int, fm_quadri: bool, with_ctcss: bool):
                 post_capped_b,
             )
             close_fire = eff & (post_capped1 < buf_tail)
-            nxt4 = jnp.where(close_fire, _set_state_valid(cur1, CLOSED), nxt3)
+            # set_state(CLOSED) collapsed: OPEN->CLOSING, else CLOSED
+            nxt4 = jnp.where(close_fire, jnp.where(cur1 == OPEN, CLOSING, CLOSED), nxt3)
 
             # ======== demod (rtl_airband.cpp:532-618) ========
             first_open = (cur1 != OPEN) & (nxt4 == OPEN)

@@ -45,6 +45,33 @@ def _tree_assert_close(st_x, st_p, atol):
                 assert d <= atol, f"state {label}: maxdiff {d:.3e}"
 
 
+def test_transition_specializations():
+    """The kernel inlines set_state(upd) with the validity table collapsed
+    under each call-site's constant upd; prove the collapsed forms equal the
+    general table (reference: squelch.cpp:297-361) for every current state."""
+    import jax.numpy as jnp
+
+    from rtlsdr_airband_tpu.ops.demod import CLOSED, CLOSING, LSA, OPEN, OPENING, _set_state_valid
+
+    cur = jnp.arange(5)
+    spec = {
+        CLOSING: jnp.where((cur == CLOSED) | (cur == LSA), CLOSED, CLOSING),
+        OPENING: jnp.where(cur == LSA, CLOSED, jnp.where(cur == OPEN, OPEN, OPENING)),
+        LSA: jnp.where((cur == CLOSED) | (cur == OPENING), CLOSED, LSA),
+        CLOSED: jnp.where(cur == OPEN, CLOSING, CLOSED),
+    }
+    for upd, got in spec.items():
+        assert np.array_equal(np.asarray(_set_state_valid(cur, upd)), np.asarray(got)), upd
+    # and the call-site masks collapse further: cur==OPEN -> CLOSING is
+    # CLOSING; cur==CLOSED -> OPENING is OPENING; active (not CLOSED/LSA)
+    # -> LSA is LSA except OPENING->CLOSED
+    assert int(_set_state_valid(jnp.array([OPEN]), CLOSING)[0]) == CLOSING
+    assert int(_set_state_valid(jnp.array([CLOSED]), OPENING)[0]) == OPENING
+    for c in (OPENING, CLOSING, OPEN):
+        want = CLOSED if c == OPENING else LSA
+        assert int(_set_state_valid(jnp.array([c]), LSA)[0]) == want
+
+
 @pytest.mark.parametrize("with_ctcss", [True, False])
 def test_pallas_matches_xla_scan(with_ctcss):
     specs = SPECS
