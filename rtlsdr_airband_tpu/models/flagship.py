@@ -59,5 +59,5 @@ def build_flagship(n_channels: int = 64, *, wave_batch: int | None = None, sampl
     z = am_carrier_iq(sample_rate, 400_000, L, carrier_ampl=0.4) + complex_noise(L, 0.02, seed)
     x = jnp.asarray(np.stack([z.real, z.imag], axis=-1).astype(np.float32))
 
-    block_kwargs = dict(hop=hop, fft_size=fft_size, n_frames=W, use_fft=False, fm_quadri=False, with_ctcss=True, with_afc=False)
+    block_kwargs = dict(hop=hop, fft_size=fft_size, n_frames=W, use_fft=False, fm_quadri=False, with_ctcss=True, with_afc=False, with_iq=False)
     return block_kwargs, (x, bins, window, params, state)

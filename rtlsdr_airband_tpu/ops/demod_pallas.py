@@ -141,7 +141,7 @@ def _fast_atan2(y, x):
     return jnp.where((x == 0.0) & (y == 0.0), F32(0.0), angle)
 
 
-def _make_kernel(W: int, WT: int, fm_quadri: bool, with_ctcss: bool):
+def _make_kernel(W: int, WT: int, fm_quadri: bool, with_ctcss: bool, with_iq: bool):
     T = W // WT
     SHIFT_SQ = W % SQ_BUF
     SHIFT_DL = W % AGC_EXTRA
@@ -516,8 +516,9 @@ def _make_kernel(W: int, WT: int, fm_quadri: bool, with_ctcss: bool):
 
             # ---- outputs ----
             wo_ref[k, 0] = waveout_final
-            iqr_ref[k, 0] = jnp.where(open_now & iq_outs, real, F32(0.0))
-            iqi_ref[k, 0] = jnp.where(open_now & iq_outs, imag, F32(0.0))
+            if with_iq:  # skipped entirely when no channel has IQ outputs
+                iqr_ref[k, 0] = jnp.where(open_now & iq_outs, real, F32(0.0))
+                iqi_ref[k, 0] = jnp.where(open_now & iq_outs, imag, F32(0.0))
             fade = last_open & is_am
             flag_ref[k, 0] = open_now.astype(I32) + 2 * fade.astype(I32)
 
@@ -577,7 +578,7 @@ def _tile(a, G, subl):
     return a.reshape(a.shape[:-1] + (G, subl, LANE))
 
 
-@partial(jax.jit, static_argnames=("fm_quadri", "with_ctcss", "interpret"))
+@partial(jax.jit, static_argnames=("fm_quadri", "with_ctcss", "with_iq", "interpret"))
 def demod_block_pallas(
     params: ChannelParams,
     state: DemodState,
@@ -586,11 +587,14 @@ def demod_block_pallas(
     *,
     fm_quadri: bool = False,
     with_ctcss: bool = True,
+    with_iq: bool = True,
     interpret: bool = False,
 ):
     """Drop-in replacement for :func:`demod.demod_block` (non-trace mode).
 
     Returns (new_state, audio [W, C], iq_out [W, C, 2], open_flags [W, C]).
+    with_iq=False skips the per-sample IQ-tap stores (use when no channel
+    has rawfile/IQ outputs); iq_out is then returned as zeros.
     """
     W, C = mags.shape
     A = AGC_EXTRA
@@ -697,7 +701,7 @@ def demod_block_pallas(
     inr_t = _tile(_pad_c(iq_stream[..., 0], 0.0, C, Cp), G, SUBL)
     ini_t = _tile(_pad_c(iq_stream[..., 1], 0.0, C, Cp), G, SUBL)
 
-    kernel = _make_kernel(W, WT, fm_quadri, with_ctcss)
+    kernel = _make_kernel(W, WT, fm_quadri, with_ctcss, with_iq)
 
     def dspec(lead):  # time-chunked data [W, G, 8, 128]
         return pl.BlockSpec((lead, 1, SUBL, LANE), lambda g, t: (t, g, 0, 0), memory_space=pltpu.VMEM)
@@ -754,7 +758,10 @@ def demod_block_pallas(
     fade = (flags & 2) != 0
 
     audio, new_tail = apply_fade_and_tail(st.waveout_tail, waveout, fade)
-    iq_out = jnp.stack([unt(iqr), unt(iqi)], axis=-1)
+    if with_iq:
+        iq_out = jnp.stack([unt(iqr), unt(iqi)], axis=-1)
+    else:
+        iq_out = jnp.zeros((W, C, 2), F32)
 
     sfo = unt(sf_o)
     sio = unt(si_o)

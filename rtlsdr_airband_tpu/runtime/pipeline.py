@@ -53,7 +53,7 @@ def default_demod_backend() -> str:
         return "xla"
 
 
-@partial(jax.jit, static_argnames=("hop", "fft_size", "n_frames", "use_fft", "fm_quadri", "with_ctcss", "with_afc", "demod_backend"))
+@partial(jax.jit, static_argnames=("hop", "fft_size", "n_frames", "use_fft", "fm_quadri", "with_ctcss", "with_afc", "with_iq", "demod_backend"))
 def pipeline_block(
     x: jax.Array,  # [L, 2] f32 IQ-pair baseband slice for this block
     bins: jax.Array,  # [C] int32 FFT bin per channel
@@ -68,19 +68,21 @@ def pipeline_block(
     fm_quadri: bool = False,
     with_ctcss: bool = True,
     with_afc: bool = False,
+    with_iq: bool = True,
     demod_backend: str = "auto",
 ):
     """Fused channelize + demod for one block (the whole device program).
 
     demod_backend: 'pallas' (Mosaic kernel, TPU only), 'xla' (lax.scan), or
-    'auto' (pallas on TPU, xla elsewhere)."""
+    'auto' (pallas on TPU, xla elsewhere).  with_iq=False elides the
+    per-sample IQ-tap output (no channel has rawfile/IQ outputs)."""
     chan = channelize_fft if use_fft else channelize_matmul
     mags, iqs = chan(x, bins, window, hop=hop, fft_size=fft_size, n_frames=n_frames)
     backend = default_demod_backend() if demod_backend == "auto" else demod_backend
     if backend == "pallas":
         from ..ops.demod_pallas import demod_block_pallas
 
-        state, audio, iq_out, open_flags = demod_block_pallas(params, state, mags, iqs, fm_quadri=fm_quadri, with_ctcss=with_ctcss)
+        state, audio, iq_out, open_flags = demod_block_pallas(params, state, mags, iqs, fm_quadri=fm_quadri, with_ctcss=with_ctcss, with_iq=with_iq)
     else:
         state, audio, iq_out, open_flags = demod_block(params, state, mags, iqs, fm_quadri=fm_quadri, with_ctcss=with_ctcss)
     out = dict(
@@ -138,6 +140,7 @@ class Pipeline:
         self.bins = jnp.asarray(self.base_bins)
         self.any_ctcss = bool(any(s.ctcss > 0 for s in specs))
         self.any_afc = bool(any(s.afc for s in specs))
+        self.any_iq = bool(any(s.has_iq_outputs for s in specs))
 
         self._pending = np.zeros((0, 2), np.float32)
         self._primed = False
@@ -193,7 +196,7 @@ class Pipeline:
                 xb, self.bins, self.window, self.params, self.state,
                 hop=self.hop, fft_size=self.N, n_frames=self.W,
                 use_fft=self.cfg.channelizer == "fft", fm_quadri=self.cfg.fm_quadri,
-                with_ctcss=self.any_ctcss, with_afc=self.any_afc,
+                with_ctcss=self.any_ctcss, with_afc=self.any_afc, with_iq=self.any_iq,
             )
             self._pending = self._pending[self._block_need :]
             self.blocks_processed += 1
@@ -216,6 +219,7 @@ class Pipeline:
         if len(specs) != self.C:
             raise ValueError("retune cannot change channel count")
         self.specs = specs
+        self.any_iq = bool(any(s.has_iq_outputs for s in specs))
         cfg = self.cfg
         self.params = make_channel_params(
             specs, wave_rate=cfg.wave_rate, sample_rate=cfg.sample_rate, center_freq=cfg.center_freq, fft_size=cfg.fft_size
