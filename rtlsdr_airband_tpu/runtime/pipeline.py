@@ -202,6 +202,53 @@ class Pipeline:
             self.blocks_processed += 1
             yield out
 
+    # -------------------------------------------------------- checkpointing
+
+    def save_state(self, path: str) -> None:
+        """Checkpoint the carried DSP state (squelch/AGC/filter/Goertzel
+        recurrences + stream alignment) so a restarted process can resume
+        demodulation gaplessly.  The reference has no DSP checkpointing —
+        its recovery is reconnect/drop-audio (SURVEY.md §5)."""
+        import numpy as np
+
+        if self.state is None:
+            raise RuntimeError("pipeline not primed; nothing to checkpoint")
+        flat = {}
+        for name in self.state._fields:
+            leaf = getattr(self.state, name)
+            if hasattr(leaf, "_fields"):  # nested CtcssState
+                for sub in leaf._fields:
+                    flat[f"state.{name}.{sub}"] = np.asarray(getattr(leaf, sub))
+            else:
+                flat[f"state.{name}"] = np.asarray(leaf)
+        flat["pending"] = self._pending
+        flat["bins"] = np.asarray(self.bins)
+        flat["blocks_processed"] = np.int64(self.blocks_processed)
+        np.savez(path, **flat)
+
+    def load_state(self, path: str) -> None:
+        """Resume from :meth:`save_state` (same channel config/shapes)."""
+        import numpy as np
+
+        from ..ops.demod import CtcssState, DemodState
+
+        d = np.load(path)
+
+        def ct(bank):
+            return CtcssState(**{name: jnp.asarray(d[f"state.{bank}.{name}"]) for name in CtcssState._fields})
+
+        kwargs = {}
+        for name in DemodState._fields:
+            if name in ("fast", "slow"):
+                kwargs[name] = ct(name)
+            else:
+                kwargs[name] = jnp.asarray(d[f"state.{name}"])
+        self.state = DemodState(**kwargs)
+        self._pending = np.asarray(d["pending"])
+        self.bins = jnp.asarray(d["bins"])
+        self.blocks_processed = int(d["blocks_processed"])
+        self._primed = True
+
     # ------------------------------------------------------------ mutation
 
     def set_bins(self, bins) -> None:
