@@ -15,3 +15,9 @@ if "xla_force_host_platform_device_count" not in _flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# cache the CPU compiles too (the XLA demod scan dominates suite wall time;
+# repeat runs of the same shapes start instantly)
+from rtlsdr_airband_tpu.utils.jaxcache import enable_persistent_cache  # noqa: E402
+
+enable_persistent_cache()
