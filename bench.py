@@ -35,6 +35,7 @@ def main() -> int:
     enable_persistent_cache()
 
     from rtlsdr_airband_tpu.models.flagship import build_flagship
+    from rtlsdr_airband_tpu.ops.channelizer import make_taps
     from rtlsdr_airband_tpu.runtime.pipeline import default_demod_backend, pipeline_block
 
     n_channels = int(os.environ.get("BENCH_CHANNELS", "8192"))
@@ -55,13 +56,16 @@ def main() -> int:
     xs = np.asarray(x)[None] + rng.normal(0, 0.01, (K,) + x.shape).astype(np.float32)
     xs = jnp.asarray(xs)
 
+    # taps precomputed once per retune in production (Pipeline._taps)
+    taps = jax.jit(make_taps)(bins, window)
+
     def make_chain(bk):
         fn = functools.partial(pipeline_block, demod_backend=bk, **block_kwargs)
 
         @jax.jit
-        def run_chain(xs, bins, window, params, state):
+        def run_chain(xs, bins, window, params, state, taps):
             def body(st, xb):
-                st, out = fn(xb, bins, window, params, st)
+                st, out = fn(xb, bins, window, params, st, taps=taps)
                 return st, jnp.sum(jnp.abs(out["audio"]))
             return jax.lax.scan(body, state, xs)
 
@@ -71,7 +75,7 @@ def main() -> int:
 
     def once():
         t0 = time.perf_counter()
-        _st, sums = run_chain(xs, bins, window, params, state)
+        _st, sums = run_chain(xs, bins, window, params, state, taps)
         np.asarray(sums)  # force full completion through the tunnel
         return time.perf_counter() - t0
 

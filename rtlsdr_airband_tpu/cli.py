@@ -32,6 +32,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--pidfile", default=None, help="pidfile path when daemonized")
     p.add_argument("--max-seconds", type=float, default=None, help="exit after N seconds (testing)")
     p.add_argument("--profile", default=None, metavar="DIR", help="capture a JAX profiler trace of the run into DIR (TensorBoard format)")
+    p.add_argument("--check-config", action="store_true", help="parse + validate the config and exit (0 = ok)")
     return p
 
 
@@ -74,6 +75,11 @@ def main(argv: list[str] | None = None) -> int:
     except (ConfigError, OSError) as e:
         print(f"error: {e}", file=sys.stderr)
         return 2
+
+    if args.check_config:
+        n_ch = sum(len(d.channels) for d in cfg.devices)
+        print(f"{args.config}: OK ({len(cfg.devices)} devices, {n_ch} channels, {len(cfg.mixers)} mixers)")
+        return 0
 
     pidfile = args.pidfile or cfg.pidfile
     wrote_pidfile = bool(pidfile) and not foreground

@@ -70,15 +70,20 @@ def make_taps(bins: jax.Array, window: jax.Array) -> tuple[jax.Array, jax.Array]
 
 
 @partial(jax.jit, static_argnames=("hop", "fft_size", "n_frames"))
-def channelize_matmul(x: jax.Array, bins: jax.Array, window: jax.Array, *, hop: int, fft_size: int, n_frames: int) -> tuple[jax.Array, jax.Array]:
+def channelize_matmul(x: jax.Array, bins: jax.Array, window: jax.Array, *, hop: int, fft_size: int, n_frames: int, taps: tuple[jax.Array, jax.Array] | None = None) -> tuple[jax.Array, jax.Array]:
     """Windowed DFT at C bins via MXU matmul.
 
     x: [L, 2] f32 baseband block (re/im pairs); bins: [C] int32; window: [N] f32.
     Returns (mags [n_frames, C] f32, iq [n_frames, C, 2] f32).
+
+    ``taps``: optional precomputed ``make_taps(bins, window)`` result.  Bins
+    change only on AFC/scan retune, so streaming callers precompute taps once
+    per retune instead of paying the [C, N] sincos every block (~0.6 ms at
+    C=8192, N=512 on v5e).
     """
     frames = make_frames(x, hop, fft_size, n_frames)  # [W, N, 2]
     fr, fi = frames[..., 0], frames[..., 1]
-    tr, ti = make_taps(bins, window)
+    tr, ti = taps if taps is not None else make_taps(bins, window)
     # (fr + i·fi) @ (tr + i·ti)^T
     yr = fr @ tr.T - fi @ ti.T
     yi = fr @ ti.T + fi @ tr.T

@@ -228,6 +228,10 @@ def _parse_channel(ch: dict, dev: DeviceConfig, where: str, default_tau: float |
     labels = ch.get("labels")
     if labels is not None and len(labels) < n:
         raise ConfigError(f"{where}: labels needs at least {n} elements")
+    if labels is None and "label" in ch:
+        # singular 'label' applies to the (single) frequency
+        # (reference: config.cpp:357-358)
+        labels = [str(ch["label"])] * n
 
     if "modulations" in ch:
         mods = _per_freq(ch["modulations"], n, str, f"{where}.modulations")

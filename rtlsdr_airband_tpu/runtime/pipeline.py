@@ -32,6 +32,7 @@ from ..ops.channelizer import (
     channelize_fft,
     channelize_matmul,
     last_frame_spectrum_power,
+    make_taps,
 )
 from ..ops.demod import ChannelParams, DemodState, demod_block
 from ..ops.params import ChannelSpec, init_demod_state, make_channel_params
@@ -70,14 +71,20 @@ def pipeline_block(
     with_afc: bool = False,
     with_iq: bool = True,
     demod_backend: str = "auto",
+    taps: tuple[jax.Array, jax.Array] | None = None,
 ):
     """Fused channelize + demod for one block (the whole device program).
 
     demod_backend: 'pallas' (Mosaic kernel, TPU only), 'xla' (lax.scan), or
     'auto' (pallas on TPU, xla elsewhere).  with_iq=False elides the
-    per-sample IQ-tap output (no channel has rawfile/IQ outputs)."""
+    per-sample IQ-tap output (no channel has rawfile/IQ outputs).
+    taps: optional precomputed matched-filter taps (see channelize_matmul);
+    ignored by the FFT path."""
     chan = channelize_fft if use_fft else channelize_matmul
-    mags, iqs = chan(x, bins, window, hop=hop, fft_size=fft_size, n_frames=n_frames)
+    if use_fft:
+        mags, iqs = chan(x, bins, window, hop=hop, fft_size=fft_size, n_frames=n_frames)
+    else:
+        mags, iqs = chan(x, bins, window, hop=hop, fft_size=fft_size, n_frames=n_frames, taps=taps)
     backend = default_demod_backend() if demod_backend == "auto" else demod_backend
     if backend == "pallas":
         from ..ops.demod_pallas import demod_block_pallas
@@ -138,6 +145,7 @@ class Pipeline:
             [bin_for_freq(s.frequency, cfg.center_freq, cfg.sample_rate, cfg.fft_size) for s in specs], np.int32
         )
         self.bins = jnp.asarray(self.base_bins)
+        self._taps = jax.jit(make_taps)(self.bins, self.window)
         self.any_ctcss = bool(any(s.ctcss > 0 for s in specs))
         self.any_afc = bool(any(s.afc for s in specs))
         self.any_iq = bool(any(s.has_iq_outputs for s in specs))
@@ -197,6 +205,7 @@ class Pipeline:
                 hop=self.hop, fft_size=self.N, n_frames=self.W,
                 use_fft=self.cfg.channelizer == "fft", fm_quadri=self.cfg.fm_quadri,
                 with_ctcss=self.any_ctcss, with_afc=self.any_afc, with_iq=self.any_iq,
+                taps=self._taps,
             )
             self._pending = self._pending[self._block_need :]
             self.blocks_processed += 1
@@ -246,15 +255,18 @@ class Pipeline:
         self.state = DemodState(**kwargs)
         self._pending = np.asarray(d["pending"])
         self.bins = jnp.asarray(d["bins"])
+        self._taps = jax.jit(make_taps)(self.bins, self.window)
         self.blocks_processed = int(d["blocks_processed"])
         self._primed = True
 
     # ------------------------------------------------------------ mutation
 
     def set_bins(self, bins) -> None:
-        """AFC / scan retune: move channels to new FFT bins (cheap — DFT taps
-        are recomputed in-jit from the bins array, no host rebuild)."""
+        """AFC / scan retune: move channels to new FFT bins.  The DFT taps
+        are re-derived by one tiny jitted call (bins change at 200 ms/2 s
+        control cadence, not per block)."""
         self.bins = jnp.asarray(np.asarray(bins, np.int32))
+        self._taps = jax.jit(make_taps)(self.bins, self.window)
 
     def retune(self, specs: list[ChannelSpec], center_freq: int | None = None) -> None:
         """Scan-mode retune: new channel frequencies and/or device center.
@@ -275,6 +287,7 @@ class Pipeline:
             [bin_for_freq(s.frequency, cfg.center_freq, cfg.sample_rate, cfg.fft_size) for s in specs], np.int32
         )
         self.bins = jnp.asarray(self.base_bins)
+        self._taps = jax.jit(make_taps)(self.bins, self.window)
         # drop buffered samples from the old tuning and re-prime
         self._pending = np.zeros((0, 2), np.float32)
         self._primed = False

@@ -177,3 +177,39 @@ devices: ({{
     freqs = np.fft.rfftfreq(seg.size, 1 / 8000)
     peak = freqs[np.argmax(np.abs(np.fft.rfft(seg))[5:]) + 5]
     assert abs(peak - 800) < 25
+
+
+def test_tui_renders_status_grid(tmp_path, capsys):
+    """TUI waterfall analog: per-channel signal/noise dBFS + state glyph
+    (reference: rtl_airband.cpp:632-643, 1033-1048)."""
+    iq = tmp_path / "iq.bin"
+    write_iq(str(iq), secs=1.0)
+    cfg = f'''
+fft_size = 512;
+devices: ({{
+  type = "file"; filepath = "{iq}"; sample_format = "u8";
+  sample_rate = 2560000; centerfreq = 120.0; speedup_factor = 0.0;
+  channels: (
+    {{ freq = 120.4; label = "TWR";
+       outputs: ( {{ type = "udp_stream"; dest_address = "127.0.0.1"; dest_port = 57311; }} ); }},
+    {{ freq = 119.1; label = "GND";
+       outputs: ( {{ type = "udp_stream"; dest_address = "127.0.0.1"; dest_port = 57312; }} ); }}
+  );
+}});
+'''
+    app = run_app(cfg)
+    capsys.readouterr()  # drop any prior output
+    app._draw_tui()
+    out = capsys.readouterr().out
+    assert "rtlsdr-airband-tpu" in out
+    assert "device 0 [file] center=120.000 MHz" in out
+    assert " 120.4000 MHz" in out and " 119.1000 MHz" in out
+    assert "TWR" in out and "GND" in out
+    assert out.count("dBFS") == 4  # sig + noise per channel
+    # active channel (120.4 carries a carrier) shows the open glyph '*',
+    # and its signal level sits well above its noise floor
+    twr = [l for l in out.splitlines() if "TWR" in l][0]
+    assert "[*]" in twr
+    sig = float(twr.split("sig")[1].split("dBFS")[0])
+    noise = float(twr.split("noise")[1].split("dBFS")[0])
+    assert sig > noise + 6
