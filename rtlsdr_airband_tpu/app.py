@@ -339,7 +339,7 @@ class App:
                 rt.indicators[ci] = "*" if is_open else " "
             chrt.last_open = is_open
 
-        if new_bins is not None and not np.array_equal(new_bins, np.asarray(rt.pipeline.bins)):
+        if new_bins is not None and not np.array_equal(new_bins, rt.pipeline.user_bins):
             rt.pipeline.set_bins(new_bins)
 
         if rt.scan is not None:

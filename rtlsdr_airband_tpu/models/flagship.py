@@ -11,7 +11,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from ..constants import AGC_EXTRA
-from ..ops.params import ChannelSpec, init_demod_state, make_channel_params
+from ..ops.params import ChannelSpec, cost_group_permutation, init_demod_state, make_channel_params
 from ..ops.window import blackman_harris_7
 from ..refmodel.channel_ref import bin_for_freq
 from ..utils.siggen import am_carrier_iq, complex_noise
@@ -40,6 +40,12 @@ def build_flagship(n_channels: int = 64, *, wave_batch: int | None = None, sampl
     example_args = (x, bins, window, params, state)."""
     center = 120_000_000
     specs = flagship_specs(n_channels, center, sample_rate)
+    # production layout: channels grouped by cost class (Pipeline does the
+    # same), with the user-order restore gather included for honest timing
+    order = cost_group_permutation(specs)
+    specs = [specs[i] for i in order]
+    unperm = np.argsort(order).astype(np.int32)
+    inv_perm = None if np.array_equal(order, np.arange(len(specs), dtype=np.int32)) else jnp.asarray(unperm)
     hop = int(round(sample_rate / wave_rate))
     W = wave_batch if wave_batch is not None else wave_rate // 8
     A = AGC_EXTRA
@@ -59,5 +65,5 @@ def build_flagship(n_channels: int = 64, *, wave_batch: int | None = None, sampl
     z = am_carrier_iq(sample_rate, 400_000, L, carrier_ampl=0.4) + complex_noise(L, 0.02, seed)
     x = jnp.asarray(np.stack([z.real, z.imag], axis=-1).astype(np.float32))
 
-    block_kwargs = dict(hop=hop, fft_size=fft_size, n_frames=W, use_fft=False, fm_quadri=False, with_ctcss=True, with_afc=False, with_iq=False)
+    block_kwargs = dict(hop=hop, fft_size=fft_size, n_frames=W, use_fft=False, fm_quadri=False, with_ctcss=True, with_afc=False, with_iq=False, inv_perm=inv_perm)
     return block_kwargs, (x, bins, window, params, state)

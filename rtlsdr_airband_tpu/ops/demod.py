@@ -275,7 +275,10 @@ def _scan_step(p: ChannelParams, st: DemodState, mag, in_r, in_i, fm_quadri: boo
     roc1 = jnp.where(is_F & (st.closed_sample_count == RECENT_SAMPLE_SIZE), 0, roc1)
     csc1 = jnp.where(is_E, 0, st.closed_sample_count)
     csc1 = jnp.where(is_F & (st.closed_sample_count < RECENT_SAMPLE_SIZE), st.closed_sample_count + 1, csc1)
-    ctcss_reset = is_E
+    # masked by ctcss_enabled: disabled channels' bank state is all-zero
+    # either way (they never advance), and the mask lets the Pallas kernel's
+    # per-tile event gate skip CTCSS-free tiles on squelch-close events
+    ctcss_reset = is_E & p.ctcss_enabled
 
     # ======== process_raw_sample rest (squelch.cpp:196-246) ========
     sample_count1 = st.sample_count + 1

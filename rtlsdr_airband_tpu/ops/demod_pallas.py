@@ -266,7 +266,7 @@ def _make_kernel(W: int, WT: int, fm_quadri: bool, with_ctcss: bool, with_iq: bo
             roc1 = jnp.where(is_F & (csc0 == RECENT_SAMPLE_SIZE), 0, roc1)
             csc1 = jnp.where(is_E, 0, csc0)
             csc1 = jnp.where(is_F & (csc0 < RECENT_SAMPLE_SIZE), csc0 + 1, csc1)
-            ctcss_reset = is_E
+            ctcss_reset = is_E & ctcss_en  # see demod.py: disabled channels' bank state is zero either way
 
             # ======== process_raw_sample rest (squelch.cpp:196-246) ========
             sample_count1 = si[SI_SAMPC] + 1

@@ -44,6 +44,27 @@ class ChannelSpec:
         return self.modulation == "nfm" or self.bandwidth > 0 or self.has_iq_outputs
 
 
+def cost_group_permutation(specs: list[ChannelSpec]) -> np.ndarray:
+    """Stable permutation grouping channels by DSP cost class.
+
+    The Pallas demod kernel event-gates its most expensive per-sample work —
+    the 52-tone dual Goertzel CTCSS bank (~+35% block time) — with a
+    per-channel-tile ``pl.when``, so the gate only pays off when a whole tile
+    shares the feature.  Grouping CTCSS channels (and, secondarily, the other
+    gated features) into contiguous runs lets mixed populations skip the bank
+    on CTCSS-free tiles.  Order within a class is preserved (stable sort);
+    callers inverse-permute per-channel outputs back to user order.
+    """
+    key = np.array(
+        [
+            ((s.ctcss > 0) << 3) | (s.needs_raw_iq << 2) | ((s.modulation == "nfm") << 1) | (s.notch > 0)
+            for s in specs
+        ],
+        np.int64,
+    )
+    return np.argsort(key, kind="stable").astype(np.int32)
+
+
 def make_channel_params(
     specs: list[ChannelSpec],
     *,

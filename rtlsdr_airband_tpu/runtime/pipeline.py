@@ -35,7 +35,7 @@ from ..ops.channelizer import (
     make_taps,
 )
 from ..ops.demod import ChannelParams, DemodState, demod_block
-from ..ops.params import ChannelSpec, init_demod_state, make_channel_params
+from ..ops.params import ChannelSpec, cost_group_permutation, init_demod_state, make_channel_params
 from ..ops.window import blackman_harris_7
 from ..refmodel.channel_ref import bin_for_freq
 
@@ -72,6 +72,7 @@ def pipeline_block(
     with_iq: bool = True,
     demod_backend: str = "auto",
     taps: tuple[jax.Array, jax.Array] | None = None,
+    inv_perm: jax.Array | None = None,
 ):
     """Fused channelize + demod for one block (the whole device program).
 
@@ -79,7 +80,11 @@ def pipeline_block(
     'auto' (pallas on TPU, xla elsewhere).  with_iq=False elides the
     per-sample IQ-tap output (no channel has rawfile/IQ outputs).
     taps: optional precomputed matched-filter taps (see channelize_matmul);
-    ignored by the FFT path."""
+    ignored by the FFT path.
+    inv_perm: optional [C] int32 — when channels were reordered by
+    cost_group_permutation (so the Pallas kernel's per-tile CTCSS gate skips
+    CTCSS-free tiles), this restores user channel order on every per-channel
+    output before it crosses to host."""
     chan = channelize_fft if use_fft else channelize_matmul
     if use_fft:
         mags, iqs = chan(x, bins, window, hop=hop, fft_size=fft_size, n_frames=n_frames)
@@ -92,13 +97,22 @@ def pipeline_block(
         state, audio, iq_out, open_flags = demod_block_pallas(params, state, mags, iqs, fm_quadri=fm_quadri, with_ctcss=with_ctcss, with_iq=with_iq)
     else:
         state, audio, iq_out, open_flags = demod_block(params, state, mags, iqs, fm_quadri=fm_quadri, with_ctcss=with_ctcss)
+    if inv_perm is not None:
+        audio = audio[:, inv_perm]
+        open_flags = open_flags[:, inv_perm]
+        iq_out = iq_out[:, inv_perm] if with_iq else iq_out
+        sig_level = state.pre_full[inv_perm]
+        noise_level = state.noise_floor[inv_perm]
+    else:
+        sig_level = state.pre_full
+        noise_level = state.noise_floor
     out = dict(
         audio=audio,  # [W, C]
         iq_out=iq_out,  # [W, C, 2] f32 IQ pairs
         open_flags=open_flags,  # [W, C] bool
         active=jnp.any(open_flags, axis=0),  # [C]
-        signal_level=state.pre_full,
-        noise_level=state.noise_floor,
+        signal_level=sig_level,
+        noise_level=noise_level,
     )
     if with_afc:
         out["spectrum_power"] = last_frame_spectrum_power(x, window, hop=hop, fft_size=fft_size, n_frames=n_frames)
@@ -137,14 +151,24 @@ class Pipeline:
         self.hop = cfg.hop
         self.N = cfg.fft_size
         self.window = jnp.asarray(blackman_harris_7(self.N))
+        # cost-class grouping: device slot j processes user channel
+        # _order[j], so the Pallas kernel's per-tile event gates (CTCSS
+        # Goertzel bank) fire on as few tiles as possible; all per-channel
+        # outputs are restored to user order in-jit via _inv_perm.
+        self._order = cost_group_permutation(specs)
+        self._unperm = np.argsort(self._order).astype(np.int32)
+        self._inv_perm = None if np.array_equal(self._order, np.arange(self.C, dtype=np.int32)) else jnp.asarray(self._unperm)
         self.params = make_channel_params(
-            specs, wave_rate=cfg.wave_rate, sample_rate=cfg.sample_rate, center_freq=cfg.center_freq, fft_size=cfg.fft_size
+            [specs[i] for i in self._order],
+            wave_rate=cfg.wave_rate, sample_rate=cfg.sample_rate, center_freq=cfg.center_freq, fft_size=cfg.fft_size,
         )
-        # FFT bin per channel (reference: config.cpp:661-664); mutable for AFC/scan
+        # FFT bin per channel in USER order (reference: config.cpp:661-664);
+        # mutable for AFC/scan.  self.bins is the device-order copy.
         self.base_bins = np.array(
             [bin_for_freq(s.frequency, cfg.center_freq, cfg.sample_rate, cfg.fft_size) for s in specs], np.int32
         )
-        self.bins = jnp.asarray(self.base_bins)
+        self.user_bins = np.array(self.base_bins)
+        self.bins = jnp.asarray(self.base_bins[self._order])
         self._taps = jax.jit(make_taps)(self.bins, self.window)
         self.any_ctcss = bool(any(s.ctcss > 0 for s in specs))
         self.any_afc = bool(any(s.afc for s in specs))
@@ -205,7 +229,7 @@ class Pipeline:
                 hop=self.hop, fft_size=self.N, n_frames=self.W,
                 use_fft=self.cfg.channelizer == "fft", fm_quadri=self.cfg.fm_quadri,
                 with_ctcss=self.any_ctcss, with_afc=self.any_afc, with_iq=self.any_iq,
-                taps=self._taps,
+                taps=self._taps, inv_perm=self._inv_perm,
             )
             self._pending = self._pending[self._block_need :]
             self.blocks_processed += 1
@@ -254,7 +278,9 @@ class Pipeline:
                 kwargs[name] = jnp.asarray(d[f"state.{name}"])
         self.state = DemodState(**kwargs)
         self._pending = np.asarray(d["pending"])
-        self.bins = jnp.asarray(d["bins"])
+        dev_bins = np.asarray(d["bins"], np.int32)  # saved in device order
+        self.bins = jnp.asarray(dev_bins)
+        self.user_bins = dev_bins[self._unperm]
         self._taps = jax.jit(make_taps)(self.bins, self.window)
         self.blocks_processed = int(d["blocks_processed"])
         self._primed = True
@@ -262,10 +288,11 @@ class Pipeline:
     # ------------------------------------------------------------ mutation
 
     def set_bins(self, bins) -> None:
-        """AFC / scan retune: move channels to new FFT bins.  The DFT taps
-        are re-derived by one tiny jitted call (bins change at 200 ms/2 s
-        control cadence, not per block)."""
-        self.bins = jnp.asarray(np.asarray(bins, np.int32))
+        """AFC / scan retune: move channels to new FFT bins (USER channel
+        order).  The DFT taps are re-derived by one tiny jitted call (bins
+        change at 200 ms/2 s control cadence, not per block)."""
+        self.user_bins = np.asarray(bins, np.int32).copy()
+        self.bins = jnp.asarray(self.user_bins[self._order])
         self._taps = jax.jit(make_taps)(self.bins, self.window)
 
     def retune(self, specs: list[ChannelSpec], center_freq: int | None = None) -> None:
@@ -280,13 +307,20 @@ class Pipeline:
         self.specs = specs
         self.any_iq = bool(any(s.has_iq_outputs for s in specs))
         cfg = self.cfg
+        # feature set may change with the new freq entries -> regroup (safe:
+        # the carried state is dropped and re-primed below)
+        self._order = cost_group_permutation(specs)
+        self._unperm = np.argsort(self._order).astype(np.int32)
+        self._inv_perm = None if np.array_equal(self._order, np.arange(self.C, dtype=np.int32)) else jnp.asarray(self._unperm)
         self.params = make_channel_params(
-            specs, wave_rate=cfg.wave_rate, sample_rate=cfg.sample_rate, center_freq=cfg.center_freq, fft_size=cfg.fft_size
+            [specs[i] for i in self._order],
+            wave_rate=cfg.wave_rate, sample_rate=cfg.sample_rate, center_freq=cfg.center_freq, fft_size=cfg.fft_size,
         )
         self.base_bins = np.array(
             [bin_for_freq(s.frequency, cfg.center_freq, cfg.sample_rate, cfg.fft_size) for s in specs], np.int32
         )
-        self.bins = jnp.asarray(self.base_bins)
+        self.user_bins = np.array(self.base_bins)
+        self.bins = jnp.asarray(self.base_bins[self._order])
         self._taps = jax.jit(make_taps)(self.bins, self.window)
         # drop buffered samples from the old tuning and re-prime
         self._pending = np.zeros((0, 2), np.float32)
