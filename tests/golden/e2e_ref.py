@@ -1,0 +1,278 @@
+"""End-to-end golden harness vs the ACTUAL reference binary.
+
+Builds the unmodified reference rtl_airband (tests/golden/refbuild/), runs it
+on a synthetic u8 IQ recording with a file input and per-channel
+udp_stream outputs (continuous mode — raw float32 audio every batch,
+reference: src/output.cpp:536-547), captures the audio over loopback UDP,
+runs the TPU pipeline on the same bytes, aligns the streams and computes
+per-channel SNR and squelch-gating agreement.
+
+This is the top link of the parity chain (reference C++ binary <-> TPU
+pipeline); the measured bounds live in E2E_GOLDEN.md.
+"""
+
+from __future__ import annotations
+
+import os
+import socket
+import subprocess
+import threading
+from dataclasses import dataclass, field
+
+import numpy as np
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+
+SAMPLE_RATE = 1_024_000
+CENTER = 120_000_000
+WAVE_RATE = 16_000  # refbuild has NFM on -> WAVE_RATE 16000 (rtl_airband.h:67-71)
+WAVE_BATCH = WAVE_RATE // 8
+FFT_SIZE = 512
+DURATION_S = 5.0
+
+
+@dataclass
+class E2EChannel:
+    name: str
+    freq: int  # absolute Hz
+    modulation: str  # 'am' | 'nfm'
+    key: tuple[float, float]  # carrier-on interval (s)
+    tone_hz: float  # voice tone
+    ctcss: float = 0.0
+    bandwidth: float = 0.0
+    notch: float = 0.0
+    ampfactor: float = 1.0
+    snr_threshold_db: float | None = None
+    extra_conf: str = ""
+
+
+# Channel plan (fs/N = 2000 Hz/bin): AM exactly on a bin; NFM 0.2 bins
+# off-center to exercise the fixed-point derotator (dm_dphi, reference:
+# config.cpp:679-712); a bandwidth-limited AM channel (Bessel lowpass +
+# squelch pre/post-filter compare, reference: rtl_airband.cpp:510-529);
+# a CTCSS-gated NFM channel with a notch on the tone (reference:
+# squelch.cpp:110-134, filters.cpp:30-64).
+CHANNELS = [
+    E2EChannel("am", CENTER + 40_000, "am", (0.5, 2.5), 400.0),
+    E2EChannel("nfm", CENTER + 100_400, "nfm", (1.0, 4.0), 700.0),
+    E2EChannel("am_bw", CENTER - 60_000, "am", (0.8, 3.2), 520.0, bandwidth=6000.0, ampfactor=1.5, snr_threshold_db=12.0),
+    E2EChannel("nfm_ctcss", CENTER - 150_600, "nfm", (1.5, 4.5), 650.0, ctcss=103.5, notch=103.5),
+]
+
+
+def make_scene(seed: int = 11, noise_sigma: float = 0.004) -> np.ndarray:
+    """u8 interleaved IQ bytes for the test scene."""
+    from rtlsdr_airband_tpu.utils.siggen import (
+        am_carrier_iq,
+        complex_noise,
+        iq_to_u8,
+        nfm_carrier_iq,
+    )
+
+    n = int(DURATION_S * SAMPLE_RATE)
+    t = np.arange(n) / SAMPLE_RATE
+
+    audio_rate = 8000
+    n_aud = int(DURATION_S * audio_rate)
+    ta = np.arange(n_aud) / audio_rate
+
+    iq = complex_noise(n, noise_sigma, seed=seed)
+    for ch in CHANNELS:
+        audio = (0.8 * np.sin(2 * np.pi * ch.tone_hz * ta)).astype(np.float32)
+        if ch.ctcss > 0:
+            audio += (0.18 * np.sin(2 * np.pi * ch.ctcss * ta)).astype(np.float32)
+        if ch.modulation == "am":
+            c = am_carrier_iq(SAMPLE_RATE, ch.freq - CENTER, n, audio=audio, carrier_ampl=0.22, mod_index=0.8, audio_rate=audio_rate)
+        else:
+            c = nfm_carrier_iq(SAMPLE_RATE, ch.freq - CENTER, n, audio=audio, deviation_hz=2500.0, carrier_ampl=0.22, audio_rate=audio_rate)
+        iq += c * ((t >= ch.key[0]) & (t < ch.key[1])).astype(np.float32)
+    return iq_to_u8(iq)
+
+
+def make_ref_config(filepath: str, ports: dict[str, int], speedup: float) -> str:
+    chans = []
+    for ch in CHANNELS:
+        opts = [f"freq = {ch.freq};", f'modulation = "{ch.modulation}";']
+        if ch.ctcss > 0:
+            opts.append(f"ctcss = {ch.ctcss};")
+        if ch.bandwidth > 0:
+            # must be an int: floats are MHz under parse_anynum2int (config.cpp:292-304)
+            opts.append(f"bandwidth = {int(ch.bandwidth)};")
+        if ch.notch > 0:
+            opts.append(f"notch = {ch.notch};")
+        if ch.ampfactor != 1.0:
+            opts.append(f"ampfactor = {ch.ampfactor};")
+        if ch.snr_threshold_db is not None:
+            opts.append(f"squelch_snr_threshold = {ch.snr_threshold_db};")
+        if ch.extra_conf:
+            opts.append(ch.extra_conf)
+        opts.append(
+            f'outputs: ( {{ type = "udp_stream"; dest_address = "127.0.0.1"; dest_port = {ports[ch.name]}; continuous = true; }} );'
+        )
+        chans.append("      {\n        " + "\n        ".join(opts) + "\n      }")
+    return (
+        f"fft_size = {FFT_SIZE};\n"
+        "devices:\n(\n  {\n"
+        '    type = "file";\n'
+        f'    filepath = "{filepath}";\n'
+        f"    speedup_factor = {speedup};\n"
+        f"    centerfreq = {CENTER};\n"
+        f"    sample_rate = {SAMPLE_RATE};\n"
+        "    channels:\n(\n" + ",\n".join(chans) + "\n    );\n  }\n);\n"
+    )
+
+
+class UdpCapture(threading.Thread):
+    def __init__(self):
+        super().__init__(daemon=True)
+        self.sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        self.sock.setsockopt(socket.SOL_SOCKET, socket.SO_RCVBUF, 8 << 20)
+        self.sock.bind(("127.0.0.1", 0))
+        self.sock.settimeout(0.25)
+        self.port = self.sock.getsockname()[1]
+        self.chunks: list[bytes] = []
+        self._done = threading.Event()
+
+    def run(self):
+        while not self._done.is_set():
+            try:
+                data, _ = self.sock.recvfrom(65536)
+                self.chunks.append(data)
+            except socket.timeout:
+                continue
+
+    def stop(self) -> np.ndarray:
+        self._done.set()
+        self.join(timeout=5)
+        self.sock.close()
+        return np.frombuffer(b"".join(self.chunks), np.float32)
+
+
+def build_reference() -> str:
+    import sys
+
+    sys.path.insert(0, os.path.join(HERE, "refbuild"))
+    try:
+        from build import build  # tests/golden/refbuild/build.py
+    finally:
+        sys.path.pop(0)
+    return build()
+
+
+def run_reference(u8: np.ndarray, workdir: str, speedup: float = 8) -> dict[str, np.ndarray]:
+    """Run the built reference binary on the scene; returns captured audio."""
+    binary = build_reference()
+
+    iqfile = os.path.join(workdir, "scene.cu8")
+    u8.tofile(iqfile)
+    caps = {ch.name: UdpCapture() for ch in CHANNELS}
+    for c in caps.values():
+        c.start()
+    cfg_path = os.path.join(workdir, "ref.conf")
+    with open(cfg_path, "w") as f:
+        f.write(make_ref_config(iqfile, {k: c.port for k, c in caps.items()}, speedup))
+    # -F foreground (no TUI), -e log to stderr.  The binary exits on file EOF
+    # (INPUT_FAILED -> devices_running==0, reference: rtl_airband.cpp:377-391).
+    proc = subprocess.run(
+        [binary, "-F", "-e", "-c", cfg_path],
+        capture_output=True,
+        text=True,
+        timeout=120,
+        cwd=workdir,
+    )
+    audio = {k: c.stop() for k, c in caps.items()}
+    if proc.returncode != 0:
+        raise RuntimeError(f"reference binary rc={proc.returncode}\n{proc.stderr[-4000:]}")
+    if min(len(a) for a in audio.values()) < WAVE_BATCH:
+        raise RuntimeError(f"no audio captured from reference binary\n{proc.stderr[-4000:]}")
+    return audio
+
+
+def run_tpu(u8: np.ndarray) -> dict[str, np.ndarray]:
+    """Run our pipeline on the same bytes; returns per-channel audio."""
+    from rtlsdr_airband_tpu.ops.params import ChannelSpec
+    from rtlsdr_airband_tpu.runtime.pipeline import Pipeline, PipelineConfig
+
+    cfg = PipelineConfig(
+        sample_rate=SAMPLE_RATE,
+        center_freq=CENTER,
+        fft_size=FFT_SIZE,
+        wave_rate=WAVE_RATE,
+        sample_format="u8",
+        fullscale=127.5,
+    )
+    specs = [
+        ChannelSpec(
+            frequency=ch.freq,
+            modulation=ch.modulation,
+            ctcss=ch.ctcss,
+            bandwidth=ch.bandwidth,
+            notch=ch.notch,
+            ampfactor=ch.ampfactor,
+            squelch_snr_threshold_db=ch.snr_threshold_db,
+        )
+        for ch in CHANNELS
+    ]
+    pipe = Pipeline(cfg, specs)
+    blocks = []
+    for out in pipe.feed(u8.tobytes()):
+        blocks.append(np.asarray(out["audio"]))
+    audio = np.concatenate(blocks, axis=0)  # [T, C]
+    return {ch.name: audio[:, i].copy() for i, ch in enumerate(CHANNELS)}
+
+
+@dataclass
+class Comparison:
+    lag: int
+    snr_db: float
+    gating_agreement: float
+    open_fraction_ref: float
+    open_fraction_tpu: float
+    n: int = 0
+    extras: dict = field(default_factory=dict)
+
+
+def compare(ref: np.ndarray, tpu: np.ndarray, max_lag: int = 4000) -> Comparison:
+    """Align by cross-correlation, then SNR over the jointly-open region."""
+    n = min(len(ref), len(tpu))
+    ref = ref[:n].astype(np.float64)
+    tpu = tpu[:n].astype(np.float64)
+
+    # coarse integer-lag alignment via FFT cross-correlation
+    m = 1 << int(np.ceil(np.log2(2 * n)))
+    R = np.fft.rfft(ref, m)
+    T = np.fft.rfft(tpu, m)
+    xc = np.fft.irfft(R * np.conj(T), m)
+    lags = np.concatenate([np.arange(0, max_lag + 1), np.arange(-max_lag, 0)])
+    vals = np.concatenate([xc[: max_lag + 1], xc[-max_lag:]])
+    lag = int(lags[np.argmax(vals)])  # tpu must be shifted by +lag to match ref
+
+    if lag >= 0:
+        a, b = ref[lag:], tpu[: n - lag]
+    else:
+        a, b = ref[: n + lag], tpu[-lag:]
+
+    open_a = a != 0.0
+    open_b = b != 0.0
+    gating = float(np.mean(open_a == open_b)) if len(a) else 0.0
+    both = open_a & open_b
+    if both.sum() > WAVE_BATCH:
+        err = a[both] - b[both]
+        snr = 10.0 * np.log10(float(np.sum(a[both] ** 2)) / max(float(np.sum(err**2)), 1e-30))
+    else:
+        snr = float("-inf")
+    return Comparison(
+        lag=lag,
+        snr_db=round(float(snr), 2),
+        gating_agreement=round(gating, 5),
+        open_fraction_ref=round(float(np.mean(open_a)), 4),
+        open_fraction_tpu=round(float(np.mean(open_b)), 4),
+        n=len(a),
+    )
+
+
+def run_e2e(workdir: str, speedup: float = 8) -> dict[str, Comparison]:
+    u8 = make_scene()
+    ref = run_reference(u8, workdir, speedup=speedup)
+    tpu = run_tpu(u8)
+    return {ch.name: compare(ref[ch.name], tpu[ch.name]) for ch in CHANNELS}

@@ -1,0 +1,59 @@
+"""End-to-end golden test vs the ACTUAL reference binary.
+
+Builds the unmodified reference rtl_airband out-of-tree (shimmed deps, see
+tests/golden/refbuild/), runs it on a synthetic u8 IQ scene (file input,
+udp_stream outputs), runs the TPU pipeline on the same bytes, and asserts
+per-channel SNR + squelch-gating agreement.  Measured values are recorded in
+E2E_GOLDEN.md.
+
+Channels cover: plain AM (on-bin), plain NFM (0.2 bins off — fixed-point
+derotator), AM + bandwidth (Bessel lowpass + squelch post-filter path +
+ampfactor + manual SNR threshold), NFM + CTCSS + notch.
+
+The three filter-free/filtered-deterministic channels match the binary to
+float roundoff (>100 dB SNR, exact gating).  The CTCSS channel's fast-window
+detector makes threshold-marginal decisions (target-power == max-power with
+heavy 20 Hz-bin leakage), so single windows at key-on can flip on f32
+channelizer roundoff (matmul DFT vs the binary's per-frame FFT); the bound is
+correspondingly looser and backed by the refmodel triangulation:
+refmodel == binary gating 1.0, kernel == refmodel audio to 2e-5.
+"""
+
+import os
+import shutil
+
+import pytest
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(os.environ.get("RTLSDR_AIRBAND_REF", "/root/reference") + "/src") or shutil.which("g++") is None,
+    reason="reference sources or g++ unavailable",
+)
+
+
+@pytest.fixture(scope="module")
+def e2e_results(tmp_path_factory):
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "golden"))
+    try:
+        from e2e_ref import run_e2e
+    finally:
+        sys.path.pop(0)
+    return run_e2e(str(tmp_path_factory.mktemp("e2e_ref")))
+
+
+@pytest.mark.parametrize("name", ["am", "nfm", "am_bw"])
+def test_exact_channels_match_reference_binary(e2e_results, name):
+    c = e2e_results[name]
+    assert abs(c.lag) <= 2, c
+    assert c.snr_db >= 80.0, c  # measured: >= 129 dB (E2E_GOLDEN.md)
+    assert c.gating_agreement >= 0.999, c  # measured: 1.0
+    assert 0.05 < c.open_fraction_ref < 0.95, c  # scene must exercise open AND closed
+
+
+def test_ctcss_channel_matches_reference_binary(e2e_results):
+    c = e2e_results["nfm_ctcss"]
+    assert abs(c.lag) <= 2, c
+    assert c.snr_db >= 25.0, c  # measured: 33 dB; limited by one marginal fast window
+    assert c.gating_agreement >= 0.985, c  # measured: 0.9886
+    assert 0.05 < c.open_fraction_ref < 0.95, c
