@@ -120,7 +120,7 @@ class App:
         for name, mcfg in cfg.mixers.items():
             m = Mixer(name, wave_batch)
             self.mixers[name] = m
-            self.mixer_outputs[name] = _build_output_set(mcfg.outputs, self.wave_rate, self.mixers, 100, 2500, use_localtime=cfg.localtime)
+            self.mixer_outputs[name] = _build_output_set(mcfg.outputs, self.wave_rate, self.mixers, mcfg.highpass, mcfg.lowpass, use_localtime=cfg.localtime)
 
         self.devices: list[DeviceRuntime] = []
         for di, d in enumerate(cfg.devices):
@@ -257,6 +257,10 @@ class App:
                     for m, idx in chrt.outputs.mixer_feeds:
                         m.disable_input(idx)
                 continue
+            # ring overflow counter -> device stats (reference: the rx
+            # callback's overflow detection feeding buffer_overflow_count,
+            # input-helpers.cpp:56-61 / output.cpp:787-800)
+            rt.stats.buffer_overflow_count = int(rt.input.ring.overflow_count)
             raw = rt.input.read_bytes(rt.bytes_per_block)
             if raw is None:
                 continue
@@ -285,11 +289,12 @@ class App:
         active = np.asarray(out["active"])  # [C]
         signal_level = np.asarray(out["signal_level"])
         noise_level = np.asarray(out["noise_level"])
-        st = rt.pipeline.state
-        open_counts = np.asarray(st.open_count)
-        flappy_counts = np.asarray(st.flappy_count)
-        ctcss_found = np.asarray(st.slow.found)
-        ctcss_not_found = np.asarray(st.slow.not_found)
+        squelch_level = np.asarray(out["squelch_level"])
+        sig_outside = np.asarray(out["sig_outside"])
+        open_counts = np.asarray(out["open_count"])
+        flappy_counts = np.asarray(out["flappy_count"])
+        ctcss_found = np.asarray(out["ctcss_found"])
+        ctcss_not_found = np.asarray(out["ctcss_not_found"])
         iq_out = None
         if "iq_out" in out:
             pairs = np.asarray(out["iq_out"])  # [W, C, 2] f32
@@ -303,6 +308,7 @@ class App:
             fs = chrt.stats[chrt.freq_idx]
             fs.noise_level = float(noise_level[ci])
             fs.signal_level = float(signal_level[ci])
+            fs.squelch_level = float(squelch_level[ci])
             fs.squelch_open_count = int(open_counts[ci])
             fs.flappy_count = int(flappy_counts[ci])
             fs.ctcss_count = int(ctcss_found[ci])
@@ -337,6 +343,10 @@ class App:
                 rt.indicators[ci] = chrt.afc.indicator
             else:
                 rt.indicators[ci] = "*" if is_open else " "
+            # '~' (signal outside filter) takes precedence over the state
+            # glyph (reference: rtl_airband.cpp:633)
+            if bool(sig_outside[ci]):
+                rt.indicators[ci] = "~"
             chrt.last_open = is_open
 
         if new_bins is not None and not np.array_equal(new_bins, rt.pipeline.user_bins):

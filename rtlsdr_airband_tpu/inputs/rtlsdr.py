@@ -103,6 +103,12 @@ class RtlSdrInput(Input):
             _LIB.rtlsdr_set_freq_correction(self.dev, int(self.correction))
         if self.gain is not None:
             _LIB.rtlsdr_set_tuner_gain_mode(self.dev, 1)  # manual
+            # Fitipower FC0012 quirk: the tuner's gain must be initialized to
+            # its lowest supported value before setting the desired one
+            # (reference: input-rtlsdr.cpp:121-133; RTLSDR_TUNER_FC0012 == 2
+            # in librtlsdr's rtlsdr_tuner enum)
+            if _LIB.rtlsdr_get_tuner_type(self.dev) == 2:
+                _LIB.rtlsdr_set_tuner_gain(self.dev, self._nearest_gain(-99.0))
             _LIB.rtlsdr_set_tuner_gain(self.dev, self._nearest_gain(self.gain))
         else:
             _LIB.rtlsdr_set_tuner_gain_mode(self.dev, 0)

@@ -51,6 +51,9 @@ class IcecastOutput:
         self.send_scan_freq_tags = send_scan_freq_tags
         self.sock: socket.socket | None = None
         self.last_attempt = 0.0
+        # unsent bytes (partial writes never drop mid-frame data); capped at
+        # MAX_QUEUELEN like libshout's queue (reference: output.cpp:467-479)
+        self._queue = bytearray()
 
     # ---------------------------------------------------------- connection
 
@@ -97,6 +100,7 @@ class IcecastOutput:
             return False
         s.setblocking(False)
         self.sock = s
+        self._queue.clear()
         return True
 
     def _open_socket(self, timeout: float):
@@ -131,31 +135,30 @@ class IcecastOutput:
     # ---------------------------------------------------------------- data
 
     def send(self, data: bytes) -> bool:
-        """Send encoded audio; on backlog or error, disconnect (the app's
-        check cadence reconnects) — reference: output.cpp:467-479."""
-        if self.sock is None or not data:
-            return self.sock is not None
-        try:
-            import fcntl  # noqa: F401  (SIOCOUTQ below is linux-only)
-            import struct
-            import termios
-
-            outq = struct.unpack("i", fcntl.ioctl(self.sock.fileno(), termios.TIOCOUTQ, b"\0\0\0\0"))[0]
-            if outq > MAX_QUEUELEN:
-                self.disconnect()
-                return False
-        except (OSError, ImportError):
-            pass
-        try:
-            self.sock.sendall(data)
-            return True
-        except BlockingIOError:
-            # kernel buffer full == backlog; match reference disconnect
-            self.disconnect()
+        """Queue + send encoded audio without ever truncating a frame: bytes
+        the non-blocking socket can't take stay in a bounded in-process queue
+        and are retried on the next call; when the backlog exceeds
+        MAX_QUEUELEN, disconnect (the app's check cadence reconnects) —
+        reference: libshout's queue + MAX_SHOUT_QUEUELEN disconnect,
+        output.cpp:467-479."""
+        if self.sock is None:
             return False
+        self._queue.extend(data)
+        try:
+            while self._queue:
+                n = self.sock.send(self._queue)
+                if n <= 0:
+                    break
+                del self._queue[:n]
+        except BlockingIOError:
+            pass  # kernel buffer full; remainder stays queued
         except OSError:
             self.disconnect()
             return False
+        if len(self._queue) > MAX_QUEUELEN:
+            self.disconnect()
+            return False
+        return True
 
     def send_metadata(self, song: str, timeout: float = 3.0) -> bool:
         """Scan-frequency 'song' tag via the admin metadata endpoint

@@ -155,6 +155,8 @@ class MixerConfig:
     name: str
     outputs: list[OutputConfig]
     # inputs are attached by channels with a mixer output
+    highpass: int = 100  # MP3 shaping (reference: config.cpp:856-863)
+    lowpass: int = 2500
 
 
 @dataclass
@@ -364,7 +366,11 @@ def parse_config(doc: dict) -> GlobalConfig:
     for name, m in (doc.get("mixers") or {}).items():
         if m.get("disable", False):
             continue
-        mixers[name] = MixerConfig(name=name, outputs=_parse_outputs(m.get("outputs"), f"mixers.{name}"))
+        hp = int(m.get("highpass", 100))
+        lp = int(m.get("lowpass", 2500))
+        if lp > 0 and lp < hp:
+            raise ConfigError(f"mixers.{name}: lowpass must be >= highpass")
+        mixers[name] = MixerConfig(name=name, outputs=_parse_outputs(m.get("outputs"), f"mixers.{name}"), highpass=hp, lowpass=lp)
 
     devices = []
     for i, d in enumerate(doc.get("devices") or []):

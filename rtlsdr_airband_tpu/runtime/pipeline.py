@@ -34,7 +34,7 @@ from ..ops.channelizer import (
     last_frame_spectrum_power,
     make_taps,
 )
-from ..ops.demod import ChannelParams, DemodState, demod_block
+from ..ops.demod import ChannelParams, DemodState, _levels, demod_block
 from ..ops.params import ChannelSpec, cost_group_permutation, init_demod_state, make_channel_params
 from ..ops.window import blackman_harris_7
 from ..refmodel.channel_ref import bin_for_freq
@@ -97,22 +97,32 @@ def pipeline_block(
         state, audio, iq_out, open_flags = demod_block_pallas(params, state, mags, iqs, fm_quadri=fm_quadri, with_ctcss=with_ctcss, with_iq=with_iq)
     else:
         state, audio, iq_out, open_flags = demod_block(params, state, mags, iqs, fm_quadri=fm_quadri, with_ctcss=with_ctcss)
+    # Per-channel observability snapshots, derived from the end-of-block
+    # state exactly as the reference's stats/TUI read the live Squelch
+    # (reference: output.cpp:598-869, rtl_airband.cpp:632-643):
+    #  - squelch_level: Squelch::squelch_level() (squelch.cpp:164-177)
+    #  - sig_outside: Squelch::signal_outside_filter() (squelch.cpp:152-154)
+    #    = using_post_filter && has_pre_filter_signal && !has_post_filter_signal
+    squelch_level = _levels(params, state.noise_floor, state.recent_open_count)
+    sig_outside = state.using_post_filter & (state.pre_capped >= squelch_level) & (state.post_capped < state.sq_buffer[0])
+    perm = (lambda a: a[inv_perm]) if inv_perm is not None else (lambda a: a)
     if inv_perm is not None:
         audio = audio[:, inv_perm]
         open_flags = open_flags[:, inv_perm]
         iq_out = iq_out[:, inv_perm] if with_iq else iq_out
-        sig_level = state.pre_full[inv_perm]
-        noise_level = state.noise_floor[inv_perm]
-    else:
-        sig_level = state.pre_full
-        noise_level = state.noise_floor
     out = dict(
         audio=audio,  # [W, C]
         iq_out=iq_out,  # [W, C, 2] f32 IQ pairs
         open_flags=open_flags,  # [W, C] bool
         active=jnp.any(open_flags, axis=0),  # [C]
-        signal_level=sig_level,
-        noise_level=noise_level,
+        signal_level=perm(state.pre_full),
+        noise_level=perm(state.noise_floor),
+        squelch_level=perm(squelch_level),
+        sig_outside=perm(sig_outside),
+        open_count=perm(state.open_count),
+        flappy_count=perm(state.flappy_count),
+        ctcss_found=perm(state.slow.found),
+        ctcss_not_found=perm(state.slow.not_found),
     )
     if with_afc:
         out["spectrum_power"] = last_frame_spectrum_power(x, window, hop=hop, fft_size=fft_size, n_frames=n_frames)

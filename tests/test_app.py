@@ -180,12 +180,14 @@ devices: ({{
 
 
 def test_tui_renders_status_grid(tmp_path, capsys):
-    """TUI waterfall analog: per-channel signal/noise dBFS + state glyph
-    (reference: rtl_airband.cpp:632-643, 1033-1048)."""
+    """TUI waterfall analog: per-channel signal/noise dBFS + state glyph,
+    including '~' = signal outside filter (reference: rtl_airband.cpp:632-643,
+    1033-1048; squelch.cpp:152-154)."""
     iq = tmp_path / "iq.bin"
     write_iq(str(iq), secs=1.0)
     cfg = f'''
 fft_size = 512;
+stats_filepath = "{tmp_path}/stats.txt";
 devices: ({{
   type = "file"; filepath = "{iq}"; sample_format = "u8";
   sample_rate = 2560000; centerfreq = 120.0; speedup_factor = 0.0;
@@ -193,7 +195,9 @@ devices: ({{
     {{ freq = 120.4; label = "TWR";
        outputs: ( {{ type = "udp_stream"; dest_address = "127.0.0.1"; dest_port = 57311; }} ); }},
     {{ freq = 119.1; label = "GND";
-       outputs: ( {{ type = "udp_stream"; dest_address = "127.0.0.1"; dest_port = 57312; }} ); }}
+       outputs: ( {{ type = "udp_stream"; dest_address = "127.0.0.1"; dest_port = 57312; }} ); }},
+    {{ freq = 120.398; label = "OFF"; bandwidth = 2000;
+       outputs: ( {{ type = "udp_stream"; dest_address = "127.0.0.1"; dest_port = 57313; }} ); }}
   );
 }});
 '''
@@ -205,7 +209,7 @@ devices: ({{
     assert "device 0 [file] center=120.000 MHz" in out
     assert " 120.4000 MHz" in out and " 119.1000 MHz" in out
     assert "TWR" in out and "GND" in out
-    assert out.count("dBFS") == 4  # sig + noise per channel
+    assert out.count("dBFS") == 6  # sig + noise per channel
     # active channel (120.4 carries a carrier) shows the open glyph '*',
     # and its signal level sits well above its noise floor
     twr = [l for l in out.splitlines() if "TWR" in l][0]
@@ -213,3 +217,45 @@ devices: ({{
     sig = float(twr.split("sig")[1].split("dBFS")[0])
     noise = float(twr.split("noise")[1].split("dBFS")[0])
     assert sig > noise + 6
+    # the OFF channel shares the carrier's FFT bin but its 1 kHz Bessel
+    # lowpass rejects the 2 kHz-offset carrier: signal present pre-filter,
+    # absent post-filter -> '~'
+    off = [l for l in out.splitlines() if "OFF" in l][0]
+    assert "[~]" in off
+    # squelch_level gauge is populated with real (nonzero) levels
+    app.stats_writer.write([rt.stats for rt in app.devices])
+    text = open(tmp_path / "stats.txt").read()
+    lvl_lines = [l for l in text.splitlines() if l.startswith("channel_squelch_level{")]
+    assert len(lvl_lines) == 3
+    assert all(float(l.split("\t")[1]) > 0 for l in lvl_lines)
+
+
+def test_buffer_overflow_count_reaches_stats(tmp_path):
+    """Ring overflow -> DeviceStats.buffer_overflow_count -> stats file
+    (reference: input-helpers.cpp:56-61, output.cpp:787-800)."""
+    import numpy as np
+
+    from rtlsdr_airband_tpu.inputs.base import RingBuffer
+
+    iq = tmp_path / "iq.bin"
+    write_iq(str(iq), secs=0.5)
+    cfg = f'''
+fft_size = 512;
+stats_filepath = "{tmp_path}/stats.txt";
+devices: ({{
+  type = "file"; filepath = "{iq}"; sample_format = "u8";
+  sample_rate = 2560000; centerfreq = 120.0; speedup_factor = 0.0;
+  channels: ({{ freq = 120.4;
+    outputs: ( {{ type = "udp_stream"; dest_address = "127.0.0.1"; dest_port = 57314; }} ); }});
+}});
+'''
+    app = App(loads_config(cfg))
+    rt = app.devices[0]
+    # force an overflow: tiny ring, oversize append
+    rt.input.ring = RingBuffer(1024)
+    assert not rt.input.ring.append(np.zeros(2048, np.uint8))
+    app._service_once()
+    assert rt.stats.buffer_overflow_count == 1
+    app.stats_writer.write([d.stats for d in app.devices])
+    text = open(tmp_path / "stats.txt").read()
+    assert 'buffer_overflow_count{device="0"}\t1' in text

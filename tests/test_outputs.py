@@ -263,3 +263,76 @@ def test_stats_writer_format(tmp_path):
         "input_overrun_count",
     ]:
         assert f"# TYPE {fam}" in text
+
+
+# ---------------------------------------------------------------- icecast
+
+
+class ThrottledSock:
+    """Fake non-blocking socket: accepts up to `budget` bytes total, then
+    raises BlockingIOError, and never takes more than `per_call` per send()."""
+
+    def __init__(self, budget=0, per_call=7):
+        self.received = bytearray()
+        self.budget = budget
+        self.per_call = per_call
+
+    def send(self, data):
+        if self.budget <= 0:
+            raise BlockingIOError
+        n = min(self.per_call, self.budget, len(data))
+        self.received += bytes(data[:n])
+        self.budget -= n
+        return n
+
+    def close(self):
+        pass
+
+
+def make_ice():
+    from rtlsdr_airband_tpu.outputs.icecast import IcecastOutput
+
+    ice = IcecastOutput("127.0.0.1", 8000, "/mount")
+    ice.sock = ThrottledSock()
+    return ice
+
+
+def test_icecast_partial_send_never_truncates_mid_frame():
+    """A partial write must keep the unsent remainder queued, not drop it
+    (reference keeps an explicit bounded queue, output.cpp:467-479)."""
+    ice = make_ice()
+    ice.sock.budget = 10
+    assert ice.send(b"frame-one-0123456789")  # 20 bytes, only 10 fit
+    assert bytes(ice.sock.received) == b"frame-one-"
+    assert bytes(ice._queue) == b"0123456789"
+    # next call drains the queued remainder FIRST, then the new frame
+    ice.sock.budget = 1000
+    assert ice.send(b"frame-two")
+    assert bytes(ice.sock.received) == b"frame-one-0123456789frame-two"
+    assert not ice._queue
+
+
+def test_icecast_backlog_overflow_disconnects():
+    """Queue past MAX_SHOUT_QUEUELEN -> disconnect (output.cpp:472-479)."""
+    from rtlsdr_airband_tpu.outputs.icecast import MAX_QUEUELEN
+
+    ice = make_ice()
+    ice.sock.budget = 0  # peer stalled
+    assert ice.send(b"x" * 1000)  # queued, still connected
+    assert ice.connected
+    assert not ice.send(b"y" * MAX_QUEUELEN)  # overflow -> disconnect
+    assert not ice.connected
+    # reconnect must start with a clean queue; a stale one would corrupt the
+    # new stream (connect() clears it)
+    assert not ice.send(b"z")  # disconnected: nothing queued, returns False
+
+
+def test_icecast_send_error_disconnects():
+    ice = make_ice()
+
+    def boom(data):
+        raise ConnectionResetError
+
+    ice.sock.send = boom
+    assert not ice.send(b"data")
+    assert not ice.connected
