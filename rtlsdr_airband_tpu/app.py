@@ -11,6 +11,8 @@ trackers.
 
 from __future__ import annotations
 
+import queue
+import threading
 import time
 from dataclasses import dataclass, field
 
@@ -32,6 +34,66 @@ from .runtime.mixer import Mixer
 from .runtime.pipeline import Pipeline, PipelineConfig
 
 OUTPUT_CHECK_PERIOD_SEC = 10.0  # reference: output_check_thread (output.cpp:936)
+SINK_QUEUE_DEPTH = 4  # blocks buffered per sink worker before overrun
+
+
+class SinkWorker:
+    """Per-device/per-mixer host output thread (reference:
+    multiple_output_threads, rtl_airband.cpp:817-819, 1056-1090).
+
+    One worker owns all sinks of one device (or mixer): the block loop
+    submits fan-out jobs and keeps running, so a slow LAME/file/Icecast sink
+    can never stall another device's block cadence.  A full queue counts an
+    output overrun and drops the oldest block — the analog of the reference's
+    waveavail-still-set overwrite (rtl_airband.cpp:649-655)."""
+
+    def __init__(self, name: str, depth: int = SINK_QUEUE_DEPTH):
+        self.q: queue.Queue = queue.Queue(maxsize=depth)
+        self.overrun_count = 0
+        self._t = threading.Thread(target=self._loop, daemon=True, name=f"sink-{name}")
+        self._t.start()
+
+    def submit(self, jobs: list) -> bool:
+        """jobs: list of (callable, args, kwargs) to run in order."""
+        try:
+            self.q.put_nowait(jobs)
+            return True
+        except queue.Full:
+            self.overrun_count += 1
+            try:
+                self.q.get_nowait()  # drop the oldest queued block
+            except queue.Empty:
+                pass
+            try:
+                self.q.put_nowait(jobs)
+            except queue.Full:
+                pass
+            return False
+
+    def submit_aux(self, jobs: list) -> bool:
+        """Best-effort housekeeping job (e.g. reconnect): dropped when the
+        queue is full, without counting an audio overrun."""
+        try:
+            self.q.put_nowait(jobs)
+            return True
+        except queue.Full:
+            return False
+
+    def _loop(self) -> None:
+        while True:
+            jobs = self.q.get()
+            if jobs is None:
+                return
+            for fn, args, kwargs in jobs:
+                try:
+                    fn(*args, **kwargs)
+                except Exception as e:  # a broken sink must not kill the worker
+                    log(LOG_WARNING, f"sink worker: {type(e).__name__}: {e}")
+
+    def close(self, timeout: float = 10.0) -> None:
+        """Drain queued blocks, then stop the thread."""
+        self.q.put(None)
+        self._t.join(timeout=timeout)
 
 
 def _build_output_set(outputs: list[OutputConfig], wave_rate: int, mixers: dict[str, Mixer], highpass: int, lowpass: int, stereo: bool = False, use_localtime: bool = False) -> OutputSet:
@@ -102,6 +164,7 @@ class DeviceRuntime:
     bytes_per_block: int = 0
     _prime_need: int = 0
     indicators: list[str] = field(default_factory=list)
+    sink_worker: SinkWorker | None = None
 
 
 class App:
@@ -127,6 +190,15 @@ class App:
             if d.disable:
                 continue
             self.devices.append(self._build_device(di, d, fm_quadri))
+
+        # per-device + per-mixer host output threads (reference:
+        # multiple_output_threads, rtl_airband.cpp:1056-1090)
+        self.mixer_workers: dict[str, SinkWorker] = {}
+        if cfg.multiple_output_threads:
+            for rt in self.devices:
+                rt.sink_worker = SinkWorker(f"dev{rt.stats.index}")
+            for name in self.mixers:
+                self.mixer_workers[name] = SinkWorker(f"mixer-{name}")
 
         self.stats_writer = StatsWriter(cfg.stats_filepath, cfg.fft_size, clock=clock) if cfg.stats_filepath else None
 
@@ -213,6 +285,13 @@ class App:
         self.do_exit = True
         for rt in self.devices:
             rt.input.stop()
+        # drain sink workers before closing their sinks
+        for rt in self.devices:
+            if rt.sink_worker is not None:
+                rt.sink_worker.close()
+                rt.stats.output_overrun_count = rt.sink_worker.overrun_count
+        for w in self.mixer_workers.values():
+            w.close()
         for rt in self.devices:
             for chrt in rt.channels:
                 chrt.outputs.close()
@@ -303,6 +382,7 @@ class App:
 
         scan_freq_changed = None
         new_bins = None
+        sink_jobs: list = []
         for ci, chrt in enumerate(rt.channels):
             is_open = bool(active[ci])
             fs = chrt.stats[chrt.freq_idx]
@@ -327,13 +407,16 @@ class App:
                     scan_tag = f"{f / 1e6:.3f} MHz" + (f" {label}" if label else "")
                     q.advance()
 
-            chrt.outputs.process(
-                audio[:, ci],
+            kwargs = dict(
                 iq=iq_out[:, ci] if iq_out is not None else None,
                 has_signal=is_open,
                 frequency=chrt.spec_source.freqs[chrt.freq_idx].frequency,
                 scan_tag=scan_tag,
             )
+            if rt.sink_worker is not None:
+                sink_jobs.append((chrt.outputs.process, (audio[:, ci],), kwargs))
+            else:
+                chrt.outputs.process(audio[:, ci], **kwargs)
 
             if chrt.afc is not None:
                 b = chrt.afc.finalize(is_open, spectrum)
@@ -348,6 +431,10 @@ class App:
             if bool(sig_outside[ci]):
                 rt.indicators[ci] = "~"
             chrt.last_open = is_open
+
+        if rt.sink_worker is not None:
+            rt.sink_worker.submit(sink_jobs)
+            rt.stats.output_overrun_count = rt.sink_worker.overrun_count
 
         if new_bins is not None and not np.array_equal(new_bins, rt.pipeline.user_bins):
             rt.pipeline.set_bins(new_bins)
@@ -380,11 +467,16 @@ class App:
             if out is None:
                 continue
             oset = self.mixer_outputs[name]
+            worker = self.mixer_workers.get(name)
             if m.stereo:
                 oset.stereo = True
-                oset.process(out[:, 0], audio_r=out[:, 1], has_signal=getattr(m, "has_signal", True))
+                args, kwargs = (out[:, 0],), dict(audio_r=out[:, 1], has_signal=getattr(m, "has_signal", True))
             else:
-                oset.process(out, has_signal=getattr(m, "has_signal", True))
+                args, kwargs = (out,), dict(has_signal=getattr(m, "has_signal", True))
+            if worker is not None:
+                worker.submit([(oset.process, args, kwargs)])
+            else:
+                oset.process(*args, **kwargs)
             m.output_consumed()
 
     def _service_outputs_check(self) -> None:
@@ -392,11 +484,20 @@ class App:
         if now - self._last_output_check < OUTPUT_CHECK_PERIOD_SEC:
             return
         self._last_output_check = now
+        # route reconnects through the sink workers when enabled so each
+        # Icecast socket is only ever touched from one thread
         for rt in self.devices:
             for chrt in rt.channels:
-                chrt.outputs.check_reconnect()
-        for oset in self.mixer_outputs.values():
-            oset.check_reconnect()
+                if rt.sink_worker is not None:
+                    rt.sink_worker.submit_aux([(chrt.outputs.check_reconnect, (), {})])
+                else:
+                    chrt.outputs.check_reconnect()
+        for name, oset in self.mixer_outputs.items():
+            w = self.mixer_workers.get(name)
+            if w is not None:
+                w.submit_aux([(oset.check_reconnect, (), {})])
+            else:
+                oset.check_reconnect()
 
     # -------------------------------------------------------------------- tui
 

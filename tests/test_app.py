@@ -259,3 +259,51 @@ devices: ({{
     app.stats_writer.write([d.stats for d in app.devices])
     text = open(tmp_path / "stats.txt").read()
     assert 'buffer_overflow_count{device="0"}\t1' in text
+
+
+def test_multiple_output_threads_isolate_slow_sink(tmp_path):
+    """With multiple_output_threads, a blocked sink on one device must not
+    stall any device's block cadence; the dropped blocks are counted as
+    device output overruns (reference: rtl_airband.cpp:817-819, 1056-1090,
+    overrun counting :649-655)."""
+    import threading
+
+    iq = tmp_path / "iq.bin"
+    write_iq(str(iq), secs=2.0)
+    dev = f'''{{
+  type = "file"; filepath = "{iq}"; sample_format = "u8";
+  sample_rate = 2560000; centerfreq = 120.0; speedup_factor = 0.0;
+  channels: ({{ freq = 120.4;
+    outputs: ( {{ type = "udp_stream"; dest_address = "127.0.0.1"; dest_port = 57315; }} ); }});
+}}'''
+    cfg = f"fft_size = 512;\nmultiple_output_threads = true;\ndevices: ({dev}, {dev});\n"
+    app = App(loads_config(cfg))
+    assert all(rt.sink_worker is not None for rt in app.devices)
+
+    blocked = threading.Event()
+    release = threading.Event()
+
+    def slow_process(audio, **kw):
+        blocked.set()
+        release.wait(timeout=60)
+
+    app.devices[0].channels[0].outputs.process = slow_process
+    app.start()
+    t0 = time.time()
+    try:
+        while time.time() - t0 < 90:
+            app._service_once()
+            if min(rt.pipeline.blocks_processed for rt in app.devices) >= 8:
+                break
+            if not any(rt.alive for rt in app.devices):
+                break
+    finally:
+        release.set()
+        app.stop()
+    # both devices kept producing blocks while device 0's sink was stuck
+    assert app.devices[0].pipeline.blocks_processed >= 8
+    assert app.devices[1].pipeline.blocks_processed >= 8
+    assert blocked.is_set()
+    # device 0's worker queue overflowed -> output overruns counted
+    assert app.devices[0].stats.output_overrun_count > 0
+    assert app.devices[1].stats.output_overrun_count == 0
