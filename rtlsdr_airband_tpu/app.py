@@ -235,6 +235,11 @@ class App:
             )
             centerfreq = scan.center_for(ch0.freqs[0].frequency)
 
+        # scan/AFC devices keep single-block dispatch (their control loops
+        # feed back per block at the reference's 200 ms cadence); others may
+        # chain blocks_per_dispatch blocks per jit call.  One chunk stays in
+        # flight so the host fetch overlaps device compute.
+        chunk = 1 if (scan_mode or any(ch.afc for ch in d.channels)) else self.cfg.blocks_per_dispatch
         pcfg = PipelineConfig(
             sample_rate=d.sample_rate,
             center_freq=centerfreq,
@@ -243,6 +248,8 @@ class App:
             sample_format=d.sample_format,
             fullscale=d.fullscale if d.fullscale is not None else {"u8": 127.5, "s8": 127.5, "s16": 32768.0, "f32": 1.0}.get(d.sample_format, 1.0),
             fm_quadri=fm_quadri,
+            chunk_blocks=chunk,
+            async_depth=1,
         )
         pipeline = Pipeline(pcfg, specs)
 
@@ -285,6 +292,12 @@ class App:
         self.do_exit = True
         for rt in self.devices:
             rt.input.stop()
+        # drain in-flight pipeline chunks so no dispatched audio is dropped
+        for rt in self.devices:
+            if rt.alive:
+                for out in rt.pipeline.flush():
+                    self._handle_block(rt, out)
+        self._service_mixers()
         # drain sink workers before closing their sinks
         for rt in self.devices:
             if rt.sink_worker is not None:
@@ -329,8 +342,11 @@ class App:
             if not rt.alive:
                 continue
             if rt.input.state == InputState.FAILED and rt.input.available_bytes() < rt.bytes_per_block:
-                # device dead: disable its outputs (reference: rtl_airband.cpp:377-391)
+                # device dead: drain the pipeline, then disable its outputs
+                # (reference: rtl_airband.cpp:377-391)
                 rt.alive = False
+                for out in rt.pipeline.flush():
+                    self._handle_block(rt, out)
                 log(LOG_NOTICE, f"device {rt.stats.index}: input failed — disabling outputs")
                 for chrt in rt.channels:
                     for m, idx in chrt.outputs.mixer_feeds:

@@ -122,7 +122,9 @@ def decode_raw_iq(raw: jax.Array, sfmt: str, fullscale: float) -> jax.Array:
     Returns [L, 2] float32.
     """
     if sfmt == "u8":
-        v = (raw.astype(jnp.float32) - 127.5) * (1.0 / 127.5)
+        # divide (not multiply-by-reciprocal): bit-identical to the host LUT
+        # (ops/sampleconv.make_u8_lut), which the golden chain is pinned to
+        v = (raw.astype(jnp.float32) - 127.5) / 127.5
     elif sfmt == "s8":
         v = raw.astype(jnp.int8).astype(jnp.float32) * (1.0 / 128.0)
     elif sfmt == "s16":

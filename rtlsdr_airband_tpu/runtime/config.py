@@ -168,6 +168,12 @@ class GlobalConfig:
     localtime: bool = False
     multiple_demod_threads: bool = False
     multiple_output_threads: bool = False
+    # TPU throughput knob (no reference analog — the reference decouples
+    # stages with threads instead, rtl_airband.cpp:1093-1112): how many
+    # 125 ms blocks each device chains into one jitted dispatch.  >1 trades
+    # control/output latency for tunnel-RTT amortization; scan/AFC devices
+    # always dispatch single blocks.
+    blocks_per_dispatch: int = 1
     log_scan_activity: bool = False
     stats_filepath: str | None = None
     tau_us: float | None = None
@@ -396,6 +402,7 @@ def parse_config(doc: dict) -> GlobalConfig:
         multiple_demod_threads=bool(doc.get("multiple_demod_threads", False)),
         multiple_output_threads=bool(doc.get("multiple_output_threads", False)),
         log_scan_activity=bool(doc.get("log_scan_activity", False)),
+        blocks_per_dispatch=max(1, int(doc.get("blocks_per_dispatch", 1))),
         stats_filepath=doc.get("stats_filepath"),
         tau_us=default_tau,
         pidfile=doc.get("pidfile"),

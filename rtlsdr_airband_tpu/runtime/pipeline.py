@@ -31,6 +31,7 @@ from ..ops.channelizer import (
     block_input_len,
     channelize_fft,
     channelize_matmul,
+    decode_raw_iq,
     last_frame_spectrum_power,
     make_taps,
 )
@@ -54,9 +55,8 @@ def default_demod_backend() -> str:
         return "xla"
 
 
-@partial(jax.jit, static_argnames=("hop", "fft_size", "n_frames", "use_fft", "fm_quadri", "with_ctcss", "with_afc", "with_iq", "demod_backend"))
-def pipeline_block(
-    x: jax.Array,  # [L, 2] f32 IQ-pair baseband slice for this block
+def _pipeline_block_impl(
+    x: jax.Array,  # [L, 2] f32 IQ-pair slice, or [2L] raw when sample_fmt is set
     bins: jax.Array,  # [C] int32 FFT bin per channel
     window: jax.Array,  # [N] f32
     params: ChannelParams,
@@ -71,6 +71,8 @@ def pipeline_block(
     with_afc: bool = False,
     with_iq: bool = True,
     demod_backend: str = "auto",
+    sample_fmt: str = "pairs",
+    fullscale: float = 1.0,
     taps: tuple[jax.Array, jax.Array] | None = None,
     inv_perm: jax.Array | None = None,
 ):
@@ -79,12 +81,17 @@ def pipeline_block(
     demod_backend: 'pallas' (Mosaic kernel, TPU only), 'xla' (lax.scan), or
     'auto' (pallas on TPU, xla elsewhere).  with_iq=False elides the
     per-sample IQ-tap output (no channel has rawfile/IQ outputs).
+    sample_fmt: 'pairs' (x is [L, 2] f32) or 'u8'/'s8'/'s16' — raw interleaved
+    IQ decoded ON DEVICE (reference LUT semantics, rtl_airband.cpp:316-324);
+    shipping raw bytes quarters the host->device traffic on the tunnel.
     taps: optional precomputed matched-filter taps (see channelize_matmul);
     ignored by the FFT path.
     inv_perm: optional [C] int32 — when channels were reordered by
     cost_group_permutation (so the Pallas kernel's per-tile CTCSS gate skips
     CTCSS-free tiles), this restores user channel order on every per-channel
     output before it crosses to host."""
+    if sample_fmt != "pairs":
+        x = decode_raw_iq(x, sample_fmt, fullscale)
     chan = channelize_fft if use_fft else channelize_matmul
     if use_fft:
         mags, iqs = chan(x, bins, window, hop=hop, fft_size=fft_size, n_frames=n_frames)
@@ -129,6 +136,79 @@ def pipeline_block(
     return state, out
 
 
+_PIPELINE_STATICS = ("hop", "fft_size", "n_frames", "use_fft", "fm_quadri", "with_ctcss", "with_afc", "with_iq", "demod_backend", "sample_fmt", "fullscale")
+
+pipeline_block = partial(jax.jit, static_argnames=_PIPELINE_STATICS)(_pipeline_block_impl)
+
+
+META_F = ("signal_level", "noise_level", "squelch_level")  # f32 [C] gauges
+META_I = ("open_count", "flappy_count", "ctcss_found", "ctcss_not_found")  # i32 [C] counters
+
+
+@partial(jax.jit, static_argnames=("k_blocks",) + _PIPELINE_STATICS)
+def pipeline_chain(
+    x: jax.Array,  # flat raw [(2·)L_total] or pairs [L_total, 2] covering k_blocks overlapping blocks
+    bins: jax.Array,
+    window: jax.Array,
+    params: ChannelParams,
+    state: DemodState,
+    *,
+    k_blocks: int,
+    hop: int,
+    fft_size: int,
+    n_frames: int,
+    use_fft: bool = False,
+    fm_quadri: bool = False,
+    with_ctcss: bool = True,
+    with_afc: bool = False,
+    with_iq: bool = True,
+    demod_backend: str = "auto",
+    sample_fmt: str = "pairs",
+    fullscale: float = 1.0,
+    taps: tuple[jax.Array, jax.Array] | None = None,
+    inv_perm: jax.Array | None = None,
+):
+    """Chain ``k_blocks`` streaming blocks in ONE dispatch (lax.scan threading
+    the demod state), amortizing the per-call tunnel RTT — the production
+    analog of bench.py's measurement protocol, and the TPU-native equivalent
+    of the reference's thread-decoupled stages (rtl_airband.cpp:1093-1112).
+
+    Per-channel scalar outputs are packed into two dense arrays (``meta_f``
+    [K, 3, C] f32 and ``meta_i`` [K, 5, C] i32) so a chunk costs a handful of
+    device->host fetches instead of ~12 per block.  ``Pipeline._to_host``
+    unpacks them back into per-block dicts.
+    """
+    need = block_input_len(n_frames, hop, fft_size)
+    step = n_frames * hop
+
+    def get_block(k):
+        if sample_fmt == "pairs":
+            return jax.lax.dynamic_slice(x, (k * step, 0), (need, 2))
+        return jax.lax.dynamic_slice(x, (k * step * 2,), (need * 2,))
+
+    def body(st, k):
+        st, out = _pipeline_block_impl(
+            get_block(k), bins, window, params, st,
+            hop=hop, fft_size=fft_size, n_frames=n_frames, use_fft=use_fft,
+            fm_quadri=fm_quadri, with_ctcss=with_ctcss, with_afc=with_afc,
+            with_iq=with_iq, demod_backend=demod_backend,
+            sample_fmt=sample_fmt, fullscale=fullscale, taps=taps, inv_perm=inv_perm,
+        )
+        packed = dict(
+            audio=out["audio"],
+            open_flags=out["open_flags"],
+            meta_f=jnp.stack([out[k_] for k_ in META_F]),
+            meta_i=jnp.stack([out[k_].astype(jnp.int32) for k_ in META_I] + [out["sig_outside"].astype(jnp.int32)]),
+        )
+        if with_iq:
+            packed["iq_out"] = out["iq_out"]
+        if with_afc:
+            packed["spectrum_power"] = out["spectrum_power"]
+        return st, packed
+
+    return jax.lax.scan(body, state, jnp.arange(k_blocks))
+
+
 @dataclass
 class PipelineConfig:
     sample_rate: int = 2_560_000
@@ -139,6 +219,10 @@ class PipelineConfig:
     fullscale: float = 1.0
     channelizer: str = "matmul"  # 'matmul' | 'fft'
     fm_quadri: bool = False
+    # throughput knobs (reference analog: thread-decoupled stages,
+    # rtl_airband.cpp:1093-1112):
+    chunk_blocks: int = 1  # blocks chained per device dispatch (lax.scan)
+    async_depth: int = 0  # in-flight chunks before feed() yields (0 = sync)
 
     @property
     def hop(self) -> int:
@@ -184,7 +268,9 @@ class Pipeline:
         self.any_afc = bool(any(s.afc for s in specs))
         self.any_iq = bool(any(s.has_iq_outputs for s in specs))
 
-        self._pending = np.zeros((0, 2), np.float32)
+        self._pending: np.ndarray | None = None  # raw 1-D or [L, 2] f32 pairs
+        self._ship: str | None = None  # 'u8' | 's8' | 's16' | 'pairs' (lazy)
+        self._inflight: list = []  # [(k_blocks, device outs)] FIFO
         self._primed = False
         self.state: DemodState | None = None
         self.blocks_processed = 0
@@ -214,36 +300,125 @@ class Pipeline:
 
         return decode_iq(raw, SampleFormat(self.cfg.sample_format), self.cfg.fullscale)
 
+    # -- raw-domain helpers: _pending holds either [L, 2] f32 pairs or the
+    # -- raw interleaved stream (u8/s8 bytes as uint8, s16 as int16) that is
+    # -- decoded ON DEVICE (decode_raw_iq) to quarter the H2D traffic.
+
+    def _resolve_ship(self, raw) -> str:
+        if isinstance(raw, (bytes, bytearray)) or (isinstance(raw, np.ndarray) and raw.dtype == np.uint8 and raw.ndim == 1):
+            if self.cfg.sample_format in ("u8", "s8", "s16"):
+                return self.cfg.sample_format
+        return "pairs"
+
+    def _ingest(self, raw) -> None:
+        if self._ship is None:
+            self._ship = self._resolve_ship(raw)
+        if self._ship == "pairs":
+            x = self._decode(raw)
+        elif self._ship == "s16":
+            b = bytes(raw) if isinstance(raw, (bytes, bytearray)) else np.asarray(raw, np.uint8).tobytes()
+            x = np.frombuffer(b, np.int16)
+        else:  # u8 / s8 ship as the byte stream
+            x = np.frombuffer(raw, np.uint8) if isinstance(raw, (bytes, bytearray)) else np.asarray(raw, np.uint8)
+        if self._pending is None or len(self._pending) == 0:
+            self._pending = x
+        else:
+            self._pending = np.concatenate([self._pending, x], axis=0)
+
+    def _pending_samples(self) -> int:
+        if self._pending is None:
+            return 0
+        return self._pending.shape[0] if self._ship == "pairs" else self._pending.shape[0] // 2
+
+    def _pending_slice(self, n_samples: int):
+        """First n_samples of the pending stream, in ship domain."""
+        return self._pending[:n_samples] if self._ship == "pairs" else self._pending[: 2 * n_samples]
+
+    def _pending_consume(self, n_samples: int) -> None:
+        self._pending = self._pending[n_samples:] if self._ship == "pairs" else self._pending[2 * n_samples :]
+
+    def _chain_kwargs(self) -> dict:
+        return dict(
+            hop=self.hop, fft_size=self.N, n_frames=self.W,
+            use_fft=self.cfg.channelizer == "fft", fm_quadri=self.cfg.fm_quadri,
+            with_ctcss=self.any_ctcss, with_afc=self.any_afc, with_iq=self.any_iq,
+            sample_fmt=self._ship if self._ship != "pairs" else "pairs",
+            fullscale=float(self.cfg.fullscale),
+        )
+
+    def _dispatch(self, k: int) -> None:
+        """Launch one k-block chained dispatch on the pending stream."""
+        n_in = (k * self.W - 1) * self.hop + self.N
+        xb = jnp.asarray(self._pending_slice(n_in))
+        self.state, outs = pipeline_chain(
+            xb, self.bins, self.window, self.params, self.state,
+            k_blocks=k, taps=self._taps, inv_perm=self._inv_perm, **self._chain_kwargs(),
+        )
+        self._pending_consume(k * self._block_need)
+        self.blocks_processed += k
+        self._inflight.append((k, outs))
+
+    def _to_host(self, item) -> Iterator[dict]:
+        """Fetch one in-flight chunk and unpack it into per-block dicts with
+        the same keys pipeline_block returns."""
+        k, outs = item
+        host = jax.device_get(outs)
+        for i in range(k):
+            out = dict(audio=host["audio"][i], open_flags=host["open_flags"][i])
+            out["active"] = host["open_flags"][i].any(axis=0)
+            for j, name in enumerate(META_F):
+                out[name] = host["meta_f"][i, j]
+            for j, name in enumerate(META_I):
+                out[name] = host["meta_i"][i, j]
+            out["sig_outside"] = host["meta_i"][i, len(META_I)].astype(bool)
+            if "iq_out" in host:
+                out["iq_out"] = host["iq_out"][i]
+            if "spectrum_power" in host:
+                out["spectrum_power"] = host["spectrum_power"][i]
+            yield out
+
     def feed(self, raw) -> Iterator[dict]:
         """Feed IQ (complex64 array, [L, 2] f32 pairs, or raw bytes in the
         configured sample format).  Yields one result dict per completed
-        block."""
-        x = self._decode(raw)
-        self._pending = np.concatenate([self._pending, x], axis=0) if self._pending.size else x
+        block.
+
+        Blocks are dispatched ``cfg.chunk_blocks`` at a time and results are
+        yielded ``cfg.async_depth`` chunks behind the dispatch front, so the
+        host fetch of chunk n-1 (and the H2D of chunk n+1) overlaps device
+        compute of chunk n — the reference decouples the same stages with
+        threads (rtl_airband.cpp:1093-1112).  Call :meth:`flush` at stream
+        end to drain."""
+        self._ingest(raw)
 
         if not self._primed:
-            if self._pending.shape[0] < self._prime_len:
+            if self._pending_samples() < self._prime_len:
                 return
+            prime = self._pending_slice(self._prime_len)
+            if self._ship != "pairs":
+                prime = self._decode(prime.tobytes())
             mags, iqs = channelize_block(
-                jnp.asarray(self._pending[: self._prime_len]), self.bins, self.window,
+                jnp.asarray(prime), self.bins, self.window,
                 hop=self.hop, fft_size=self.N, n_frames=self.A, use_fft=self.cfg.channelizer == "fft",
             )
             self.state = init_demod_state(self.C, mags, iqs)
-            self._pending = self._pending[self.A * self.hop :]
+            self._pending_consume(self.A * self.hop)
             self._primed = True
 
-        while self._pending.shape[0] >= self._block_len:
-            xb = jnp.asarray(self._pending[: self._block_len])
-            self.state, out = pipeline_block(
-                xb, self.bins, self.window, self.params, self.state,
-                hop=self.hop, fft_size=self.N, n_frames=self.W,
-                use_fft=self.cfg.channelizer == "fft", fm_quadri=self.cfg.fm_quadri,
-                with_ctcss=self.any_ctcss, with_afc=self.any_afc, with_iq=self.any_iq,
-                taps=self._taps, inv_perm=self._inv_perm,
-            )
-            self._pending = self._pending[self._block_need :]
-            self.blocks_processed += 1
-            yield out
+        K = max(1, int(self.cfg.chunk_blocks))
+        chunk_len = (K * self.W - 1) * self.hop + self.N
+        while self._pending_samples() >= chunk_len:
+            self._dispatch(K)
+            while len(self._inflight) > max(0, int(self.cfg.async_depth)):
+                yield from self._to_host(self._inflight.pop(0))
+
+    def flush(self) -> Iterator[dict]:
+        """Drain: process any remaining complete single blocks, then fetch
+        every in-flight chunk.  Call at stream end / shutdown / retune."""
+        if self._primed:
+            while self._pending_samples() >= self._block_len:
+                self._dispatch(1)
+        while self._inflight:
+            yield from self._to_host(self._inflight.pop(0))
 
     # -------------------------------------------------------- checkpointing
 
@@ -256,6 +431,8 @@ class Pipeline:
 
         if self.state is None:
             raise RuntimeError("pipeline not primed; nothing to checkpoint")
+        if self._inflight:
+            raise RuntimeError("in-flight chunks pending; iterate flush() before save_state")
         flat = {}
         for name in self.state._fields:
             leaf = getattr(self.state, name)
@@ -264,7 +441,8 @@ class Pipeline:
                     flat[f"state.{name}.{sub}"] = np.asarray(getattr(leaf, sub))
             else:
                 flat[f"state.{name}"] = np.asarray(leaf)
-        flat["pending"] = self._pending
+        flat["pending"] = self._pending if self._pending is not None else np.zeros((0, 2), np.float32)
+        flat["ship"] = np.str_(self._ship or "")
         flat["bins"] = np.asarray(self.bins)
         flat["blocks_processed"] = np.int64(self.blocks_processed)
         np.savez(path, **flat)
@@ -288,6 +466,8 @@ class Pipeline:
                 kwargs[name] = jnp.asarray(d[f"state.{name}"])
         self.state = DemodState(**kwargs)
         self._pending = np.asarray(d["pending"])
+        ship = str(d["ship"]) if "ship" in d else "pairs"
+        self._ship = ship or None
         dev_bins = np.asarray(d["bins"], np.int32)  # saved in device order
         self.bins = jnp.asarray(dev_bins)
         self.user_bins = dev_bins[self._unperm]
@@ -332,6 +512,7 @@ class Pipeline:
         self.user_bins = np.array(self.base_bins)
         self.bins = jnp.asarray(self.base_bins[self._order])
         self._taps = jax.jit(make_taps)(self.bins, self.window)
-        # drop buffered samples from the old tuning and re-prime
-        self._pending = np.zeros((0, 2), np.float32)
+        # drop buffered samples from the old tuning and re-prime; in-flight
+        # chunks from the old tuning stay queued and drain in FIFO order
+        self._pending = None
         self._primed = False

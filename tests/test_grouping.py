@@ -19,7 +19,7 @@ def _mixed_specs():
         ChannelSpec(frequency=120_100_000, modulation="nfm", ctcss=100.0),
         ChannelSpec(frequency=120_300_000, modulation="am"),
         ChannelSpec(frequency=120_500_000, modulation="nfm", ctcss=123.0),
-        ChannelSpec(frequency=120_700_000, modulation="am", bandwidth=6000, notch=1000.0),
+        ChannelSpec(frequency=120_700_000, modulation="am", bandwidth=6000, notch=1000.0, has_iq_outputs=True),
         ChannelSpec(frequency=119_500_000, modulation="nfm", bandwidth=8000),
         ChannelSpec(frequency=119_300_000, modulation="am"),
     ]

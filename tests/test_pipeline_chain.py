@@ -1,0 +1,122 @@
+"""Multi-block chained dispatch + on-device raw decode: the production
+throughput path (pipeline_chain / Pipeline.chunk_blocks/async_depth) must be
+bit-identical to the single-block synchronous path, and the on-device
+decode_raw_iq must match the host decoder for every sample format."""
+
+import numpy as np
+import pytest
+
+from rtlsdr_airband_tpu.ops.params import ChannelSpec
+from rtlsdr_airband_tpu.ops.sampleconv import SampleFormat, decode_iq
+from rtlsdr_airband_tpu.runtime.pipeline import Pipeline, PipelineConfig
+from rtlsdr_airband_tpu.utils.siggen import am_carrier_iq, complex_noise
+
+FS, CENTER = 2_560_000, 120_000_000
+
+
+@pytest.mark.parametrize("sfmt,fullscale", [("u8", 127.5), ("s8", 128.0), ("s16", 32768.0), ("f32", 1.0)])
+def test_decode_raw_iq_matches_host(sfmt, fullscale):
+    """On-device decode (fused into the channelizer program) == host decoder
+    (reference LUT semantics, rtl_airband.cpp:316-324,402-438)."""
+    import jax.numpy as jnp
+
+    from rtlsdr_airband_tpu.ops.channelizer import decode_raw_iq
+
+    rng = np.random.default_rng(3)
+    n = 4096
+    if sfmt == "u8":
+        raw = rng.integers(0, 256, 2 * n).astype(np.uint8)
+        dev = decode_raw_iq(jnp.asarray(raw), sfmt, fullscale)
+        host = decode_iq(raw.tobytes(), SampleFormat(sfmt), fullscale)
+    elif sfmt == "s8":
+        raw = rng.integers(-128, 128, 2 * n).astype(np.int8)
+        dev = decode_raw_iq(jnp.asarray(raw.view(np.uint8)), sfmt, fullscale)
+        host = decode_iq(raw.tobytes(), SampleFormat(sfmt), fullscale)
+    elif sfmt == "s16":
+        raw = rng.integers(-32768, 32768, 2 * n).astype(np.int16)
+        dev = decode_raw_iq(jnp.asarray(raw), sfmt, fullscale)
+        host = decode_iq(raw.tobytes(), SampleFormat(sfmt), fullscale)
+    else:
+        raw = rng.normal(0, 0.5, 2 * n).astype(np.float32)
+        dev = decode_raw_iq(jnp.asarray(raw), sfmt, fullscale)
+        host = decode_iq(raw.tobytes(), SampleFormat(sfmt), fullscale)
+    np.testing.assert_array_equal(np.asarray(dev), host)
+
+
+def _scene_u8(secs=1.6):
+    n = int(FS * secs)
+    z = am_carrier_iq(FS, 400_000, n, carrier_ampl=0.35) + complex_noise(n, 0.02, 0)
+    # gate the carrier off mid-stream so squelch opens AND closes across
+    # chunk boundaries
+    g = np.ones(n, np.float32)
+    g[int(n * 0.45) : int(n * 0.62)] = 0.0
+    z = z * g + complex_noise(n, 0.01, 5)
+    u8 = np.empty(2 * n, np.uint8)
+    u8[0::2] = np.clip(np.round(z.real * 127.5 + 127.5), 0, 255).astype(np.uint8)
+    u8[1::2] = np.clip(np.round(z.imag * 127.5 + 127.5), 0, 255).astype(np.uint8)
+    return u8.tobytes()
+
+
+def _specs():
+    return [
+        ChannelSpec(frequency=120_400_000, modulation="am"),
+        ChannelSpec(frequency=120_700_000, modulation="nfm", ctcss=100.0),
+        ChannelSpec(frequency=120_395_000, modulation="am", bandwidth=6000.0),
+    ]
+
+
+def _run(raw, chunk, depth, step_bytes=512_000):
+    cfg = PipelineConfig(
+        sample_rate=FS, center_freq=CENTER, wave_rate=8000, sample_format="u8",
+        fullscale=127.5, chunk_blocks=chunk, async_depth=depth,
+    )
+    p = Pipeline(cfg, _specs())
+    outs = []
+    for i in range(0, len(raw), step_bytes):
+        outs.extend(p.feed(raw[i : i + step_bytes]))
+    outs.extend(p.flush())
+    return p, outs
+
+
+def test_chain_matches_single_block_dispatch():
+    raw = _scene_u8()
+    p1, outs1 = _run(raw, chunk=1, depth=0)
+    p4, outs4 = _run(raw, chunk=4, depth=1)
+    assert len(outs1) == len(outs4) and len(outs1) >= 10
+    for o1, o4 in zip(outs1, outs4):
+        np.testing.assert_array_equal(np.asarray(o1["audio"]), o4["audio"])
+        np.testing.assert_array_equal(np.asarray(o1["open_flags"]), o4["open_flags"])
+        for k in ("signal_level", "noise_level", "squelch_level"):
+            np.testing.assert_array_equal(np.asarray(o1[k]), o4[k])
+        for k in ("open_count", "flappy_count", "ctcss_found", "ctcss_not_found"):
+            np.testing.assert_array_equal(np.asarray(o1[k], np.int32), o4[k])
+        np.testing.assert_array_equal(np.asarray(o1["sig_outside"]), o4["sig_outside"])
+    # the scene opens and closes squelch at least once
+    opens = np.asarray(p1.state.open_count)
+    assert opens[0] >= 1
+    # carried int state identical after both runs
+    np.testing.assert_array_equal(np.asarray(p1.state.cur), np.asarray(p4.state.cur))
+    np.testing.assert_array_equal(np.asarray(p1.state.sample_count), np.asarray(p4.state.sample_count))
+
+
+def test_raw_ship_matches_pairs_ship():
+    """Shipping raw u8 bytes (decoded on device) must equal decoding on the
+    host and shipping f32 pairs."""
+    raw = _scene_u8(secs=1.0)
+    # raw-byte path
+    _, outs_raw = _run(raw, chunk=2, depth=1)
+    # pairs path: decode host-side, feed complex
+    z = decode_iq(raw, SampleFormat.U8)
+    zc = (z[:, 0] + 1j * z[:, 1]).astype(np.complex64)
+    cfg = PipelineConfig(sample_rate=FS, center_freq=CENTER, wave_rate=8000, sample_format="f32c", chunk_blocks=2, async_depth=1)
+    p = Pipeline(cfg, _specs())
+    outs_pairs = list(p.feed(zc)) + list(p.flush())
+    assert len(outs_raw) == len(outs_pairs) >= 5
+    # on TPU the two paths are bit-identical; on CPU XLA fuses the on-device
+    # decode into the channelizer matmul with a different FMA/association
+    # order (decode itself is bit-equal — test above), so allow float-assoc
+    # noise and require near-perfect squelch gating agreement
+    for a, b in zip(outs_raw, outs_pairs):
+        np.testing.assert_allclose(a["audio"], b["audio"], atol=1e-5)
+        agree = (a["open_flags"] == b["open_flags"]).mean()
+        assert agree >= 0.999
