@@ -1,0 +1,149 @@
+#!/usr/bin/env python
+"""App-level benchmark: the FULL production path on the real chip.
+
+Unlike bench.py (which times the jitted device step alone via an on-device
+checksum), this drives the whole application exactly as a user would run it:
+libconfig text -> load_config -> App -> file input thread -> ring buffer ->
+Pipeline (chunked dispatch + async double-buffering) -> host block handler ->
+per-channel UDP sinks.  It answers VERDICT r1's "production-path streaming
+performance" question: what does one block cost END TO END, including the
+host<->device tunnel fetches and all host sink work?
+
+Scene: noise floor + AM carriers on ~0.4% of channels (min 4) so a realistic
+handful of squelches open and their sinks actually send audio; one channel
+carries CTCSS so the kernel compiles with the same with_ctcss=True graph as
+bench.py.
+
+Protocol: `speedup_factor = 0` (unpaced file read — input is never the
+bottleneck), run the App loop over a BENCH_APP_SECONDS recording, timestamp
+every handled block, drop the warmup chunk (contains the jit compile), report
+steady-state wall ms per block.
+
+Env knobs: BENCH_APP_CHANNELS (default 2048), BENCH_APP_SECONDS (default 24),
+BENCH_APP_BLOCKS_PER_DISPATCH (default 16, matching bench.py).
+
+Prints ONE JSON line, e.g.
+  {"metric": "app_block_time", "value": ..., "unit": "ms/block", ...}
+
+Reference analog: the thread-decoupled production loop
+/root/reference/src/rtl_airband.cpp:1056-1112 feeding demod + output threads.
+"""
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def build_scene(path: str, freqs_hz: list[int], hot: list[int], center: int, fs: int, seconds: float, wave_rate: int) -> None:
+    from rtlsdr_airband_tpu.utils.siggen import am_carrier_iq, complex_noise
+
+    total = int(fs * seconds)
+    z = complex_noise(total, 0.004, seed=11)
+    t_a = np.arange(int(wave_rate * seconds) + 2, dtype=np.float64) / wave_rate
+    for k, ci in enumerate(hot):
+        audio = (0.7 * np.sin(2 * np.pi * (500.0 + 130.0 * k) * t_a)).astype(np.float32)
+        z += am_carrier_iq(fs, freqs_hz[ci] - center, total, audio=audio, carrier_ampl=0.4, audio_rate=wave_rate)
+    iq = np.empty(total * 2, np.float32)
+    iq[0::2], iq[1::2] = z.real, z.imag
+    u8 = np.clip(np.round(iq * 127.5 + 127.5), 0, 255).astype(np.uint8)
+    u8.tofile(path)
+
+
+def main() -> int:
+    n_channels = int(os.environ.get("BENCH_APP_CHANNELS", "2048"))
+    seconds = float(os.environ.get("BENCH_APP_SECONDS", "24"))
+    chunk = int(os.environ.get("BENCH_APP_BLOCKS_PER_DISPATCH", "16"))
+
+    from rtlsdr_airband_tpu.utils.jaxcache import enable_persistent_cache
+
+    enable_persistent_cache()
+
+    from rtlsdr_airband_tpu.app import App
+    from rtlsdr_airband_tpu.models.flagship import flagship_specs
+    from rtlsdr_airband_tpu.runtime.config import load_config
+
+    center, fs, wave_rate = 120_000_000, 2_560_000, 16000
+    specs = flagship_specs(n_channels, center, fs)
+    freqs = [s.frequency for s in specs]
+    n_hot = max(4, n_channels // 256)
+    hot = [int(i) for i in np.linspace(0, n_channels - 1, n_hot).astype(int)]
+
+    tmp = tempfile.mkdtemp(prefix="bench_app_")
+    iq_path = os.path.join(tmp, "scene.cu8")
+    build_scene(iq_path, freqs, hot, center, fs, seconds, wave_rate)
+
+    # one CTCSS channel so the device graph matches bench.py (with_ctcss=True)
+    chans = []
+    for i, f in enumerate(freqs):
+        extra = " ctcss = 100.0;" if i == min(h for h in hot) else ""
+        chans.append(
+            f'{{ freq = {f}; modulation = "am";{extra} outputs: ( {{ type = "udp_stream"; '
+            f'dest_address = "127.0.0.1"; dest_port = {20000 + (i % 8000)}; }} ); }}'
+        )
+    cfg_text = (
+        f'fft_size = 512;\nwave_rate = {wave_rate};\n'
+        f'blocks_per_dispatch = {chunk};\n'
+        f'devices: ( {{ type = "file"; filepath = "{iq_path}"; centerfreq = {center}; '
+        f'sample_rate = {fs}; sample_format = "u8"; speedup_factor = 0.0; '
+        f'channels: ( {", ".join(chans)} ); }} );\n'
+    )
+    cfg_path = os.path.join(tmp, "bench.conf")
+    with open(cfg_path, "w") as f:
+        f.write(cfg_text)
+
+    t0 = time.perf_counter()
+    cfg = load_config(cfg_path)
+    t_parse = time.perf_counter() - t0
+
+    app = App(cfg)
+    stamps: list[float] = []
+    orig = app._handle_block
+
+    def timed(rt, out):
+        orig(rt, out)
+        stamps.append(time.perf_counter())
+
+    app._handle_block = timed
+
+    t0 = time.perf_counter()
+    app.run(max_seconds=600.0)
+    wall = time.perf_counter() - t0
+
+    n = len(stamps)
+    expected = int(seconds / 0.125)
+    # steady state: drop the first chunk (jit compile + pipeline fill)
+    k = min(2 * chunk, n // 2)
+    steady_ms = (stamps[-1] - stamps[k - 1]) / (n - k) * 1e3 if n > k else float("nan")
+    block_realtime_ms = 125.0
+    opened = sum(int(st.squelch_open_count > 0) for rt in app.devices for ch in rt.channels for st in ch.stats)
+
+    result = {
+        "metric": "app_block_time",
+        "value": round(steady_ms, 3),
+        "unit": "ms/block",
+        "vs_baseline": round(block_realtime_ms / steady_ms, 2),  # realtime factor
+        "detail": {
+            "n_channels": n_channels,
+            "blocks": n,
+            "blocks_expected": expected,
+            "wall_s": round(wall, 2),
+            "config_parse_s": round(t_parse, 2),
+            "blocks_per_dispatch": chunk,
+            "hot_channels": len(hot),
+            "channels_opened": opened,
+            "realtime_channel_capacity": int(n_channels * block_realtime_ms / steady_ms),
+            "fetch_mb_per_block": round(2000 * n_channels * 4 / 1e6, 1),
+        },
+    }
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -73,7 +73,7 @@ def channel_sweep(counts, K=8, reps=3):
             "sweep": "channels", "n_channels": C, "block_ms": round(dt * 1e3, 3),
             "channel_msps": round(msps, 1), "realtime_factor": round(0.125 / dt, 2),
             "backend": backend,
-        }))
+        }), flush=True)
 
 
 def device_sweep(counts):
@@ -102,7 +102,7 @@ def device_sweep(counts):
         print(json.dumps({
             "sweep": "devices", "n_devices": n, "mesh": dict(mesh.shape),
             "block_ms": round(dt * 1e3, 2), "audio_checksum": round(s0, 2),
-        }))
+        }), flush=True)
 
 
 def main() -> int:

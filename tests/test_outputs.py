@@ -336,3 +336,92 @@ def test_icecast_send_error_disconnects():
     ice.sock.send = boom
     assert not ice.send(b"data")
     assert not ice.connected
+
+
+# ---------------------------------------------------------------- pulse sink
+
+
+class _FakePulseLib:
+    """Stand-in for libpulse-simple: captures pa_simple_write payloads.
+    (No PulseAudio in CI — the stream framing is what we own and test;
+    reference analog: src/pulse.cpp:94-146 corked synchronized L/R pair,
+    realized here as ONE 2-channel s16 stream which cannot desynchronize.)"""
+
+    def __init__(self, fail_after: int = -1):
+        self.writes: list[bytes] = []
+        self.freed = 0
+        self.fail_after = fail_after
+
+    def pa_simple_new(self, *a):
+        return 0xDEAD
+
+    def pa_simple_write(self, s, pcm, n, err):
+        if self.fail_after >= 0 and len(self.writes) >= self.fail_after:
+            return -1
+        self.writes.append(bytes(pcm))
+        return 0
+
+    def pa_simple_free(self, s):
+        self.freed += 1
+
+    # ctypes-style attribute assignment targets
+    restype = None
+
+
+def _make_pulse(monkeypatch, fake):
+    from rtlsdr_airband_tpu.outputs import pulse as pmod
+
+    class _Fn:
+        def __init__(self, f):
+            self.f = f
+            self.restype = None
+
+        def __call__(self, *a):
+            return self.f(*a)
+
+    lib = type("L", (), {})()
+    lib.pa_simple_new = _Fn(fake.pa_simple_new)
+    lib.pa_simple_write = _Fn(fake.pa_simple_write)
+    lib.pa_simple_free = _Fn(fake.pa_simple_free)
+    monkeypatch.setattr(pmod, "_LIB", lib)
+    return pmod
+
+
+def test_pulse_stereo_interleave_s16(monkeypatch):
+    fake = _FakePulseLib()
+    pmod = _make_pulse(monkeypatch, fake)
+    p = pmod.PulseOutput(8000, stereo=True)
+    assert p.available
+    left = np.array([0.0, 0.5, -0.5, 1.0], np.float32)
+    right = np.array([1.0, -1.0, 0.25, 0.0], np.float32)
+    p.write(left, right)
+    pcm = np.frombuffer(fake.writes[0], "<i2")
+    # L/R interleaved, s16 full scale 32767, clipped
+    np.testing.assert_array_equal(pcm[0::2], (left * 32767).astype(np.int16))
+    np.testing.assert_array_equal(pcm[1::2], (right * 32767).astype(np.int16))
+
+
+def test_pulse_mono_and_clip(monkeypatch):
+    fake = _FakePulseLib()
+    pmod = _make_pulse(monkeypatch, fake)
+    p = pmod.PulseOutput(8000, stereo=False)
+    p.write(np.array([2.0, -2.0], np.float32))  # out-of-range input clips
+    pcm = np.frombuffer(fake.writes[0], "<i2")
+    np.testing.assert_array_equal(pcm, [32767, -32767])
+
+
+def test_pulse_write_failure_disables_and_close_frees(monkeypatch):
+    fake = _FakePulseLib(fail_after=1)
+    pmod = _make_pulse(monkeypatch, fake)
+    p = pmod.PulseOutput(8000, stereo=True)
+    a = np.zeros(4, np.float32)
+    p.write(a, a)
+    p.write(a, a)  # second write fails -> sink disables itself
+    assert not p.available
+    p.write(a, a)  # further writes are no-ops, no raise
+    assert len(fake.writes) == 1
+    p2 = pmod.PulseOutput(8000)
+    p2.close()
+    assert fake.freed == 1
+    p2.close()  # idempotent
+    assert fake.freed == 1
