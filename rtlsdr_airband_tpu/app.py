@@ -250,6 +250,7 @@ class App:
             fm_quadri=fm_quadri,
             chunk_blocks=chunk,
             async_depth=1,
+            active_slots=self.cfg.active_fetch_slots,
         )
         pipeline = Pipeline(pcfg, specs)
 

@@ -174,6 +174,10 @@ class GlobalConfig:
     # control/output latency for tunnel-RTT amortization; scan/AFC devices
     # always dispatch single blocks.
     blocks_per_dispatch: int = 1
+    # TPU fetch knob (no reference analog): >0 caps the device->host audio
+    # transfer to this many OPEN channels per block (active-channel gather);
+    # closed channels reconstruct as silence.  0 = fetch all channels dense.
+    active_fetch_slots: int = 0
     log_scan_activity: bool = False
     stats_filepath: str | None = None
     tau_us: float | None = None
@@ -403,6 +407,7 @@ def parse_config(doc: dict) -> GlobalConfig:
         multiple_output_threads=bool(doc.get("multiple_output_threads", False)),
         log_scan_activity=bool(doc.get("log_scan_activity", False)),
         blocks_per_dispatch=max(1, int(doc.get("blocks_per_dispatch", 1))),
+        active_fetch_slots=max(0, int(doc.get("active_fetch_slots", 0))),
         stats_filepath=doc.get("stats_filepath"),
         tau_us=default_tau,
         pidfile=doc.get("pidfile"),

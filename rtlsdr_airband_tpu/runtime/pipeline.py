@@ -145,7 +145,7 @@ META_F = ("signal_level", "noise_level", "squelch_level")  # f32 [C] gauges
 META_I = ("open_count", "flappy_count", "ctcss_found", "ctcss_not_found")  # i32 [C] counters
 
 
-@partial(jax.jit, static_argnames=("k_blocks",) + _PIPELINE_STATICS)
+@partial(jax.jit, static_argnames=("k_blocks", "active_slots", "with_flags") + _PIPELINE_STATICS)
 def pipeline_chain(
     x: jax.Array,  # flat raw [(2·)L_total] or pairs [L_total, 2] covering k_blocks overlapping blocks
     bins: jax.Array,
@@ -167,6 +167,8 @@ def pipeline_chain(
     fullscale: float = 1.0,
     taps: tuple[jax.Array, jax.Array] | None = None,
     inv_perm: jax.Array | None = None,
+    active_slots: int = 0,
+    with_flags: bool = False,
 ):
     """Chain ``k_blocks`` streaming blocks in ONE dispatch (lax.scan threading
     the demod state), amortizing the per-call tunnel RTT — the production
@@ -177,6 +179,16 @@ def pipeline_chain(
     [K, 3, C] f32 and ``meta_i`` [K, 5, C] i32) so a chunk costs a handful of
     device->host fetches instead of ~12 per block.  ``Pipeline._to_host``
     unpacks them back into per-block dicts.
+
+    ``active_slots`` = S > 0 enables the ACTIVE-CHANNEL GATHER: instead of the
+    dense [W, C] audio (the device->host bandwidth wall at large C — the host
+    only ever plays/encodes OPEN channels, like the reference's outputs which
+    consume nothing while squelch is closed, output.cpp:598-660), each block
+    ships audio for at most S open channels ([W, S]) plus their channel
+    indices (``slot_channel`` [S] i32, -1 = empty) and the true open count
+    (``n_active``, for overflow accounting).  Closed channels reconstruct as
+    silence on host.  ``with_flags`` additionally ships the per-sample
+    [W, C] open_flags (diagnostic only — nothing in the app consumes it).
     """
     need = block_input_len(n_frames, hop, fft_size)
     step = n_frames * hop
@@ -196,11 +208,23 @@ def pipeline_chain(
         )
         packed = dict(
             audio=out["audio"],
-            open_flags=out["open_flags"],
+            active=out["active"],
             meta_f=jnp.stack([out[k_] for k_ in META_F]),
             meta_i=jnp.stack([out[k_].astype(jnp.int32) for k_ in META_I] + [out["sig_outside"].astype(jnp.int32)]),
         )
-        if with_iq:
+        if with_flags:
+            packed["open_flags"] = out["open_flags"]
+        if active_slots:
+            slots = min(active_slots, out["audio"].shape[1])
+            idx = jnp.nonzero(out["active"], size=slots, fill_value=-1)[0].astype(jnp.int32)
+            valid = idx >= 0
+            g = jnp.maximum(idx, 0)
+            packed["audio"] = jnp.where(valid[None, :], out["audio"][:, g], 0.0)
+            packed["slot_channel"] = idx
+            packed["n_active"] = jnp.sum(out["active"]).astype(jnp.int32)
+            if with_iq:
+                packed["iq_out"] = jnp.where(valid[None, :, None], out["iq_out"][:, g], 0.0)
+        elif with_iq:
             packed["iq_out"] = out["iq_out"]
         if with_afc:
             packed["spectrum_power"] = out["spectrum_power"]
@@ -223,6 +247,8 @@ class PipelineConfig:
     # rtl_airband.cpp:1093-1112):
     chunk_blocks: int = 1  # blocks chained per device dispatch (lax.scan)
     async_depth: int = 0  # in-flight chunks before feed() yields (0 = sync)
+    active_slots: int = 0  # >0: fetch only open channels' audio (S slots)
+    fetch_open_flags: bool = False  # ship per-sample [W, C] flags (diagnostic)
 
     @property
     def hop(self) -> int:
@@ -274,6 +300,8 @@ class Pipeline:
         self._primed = False
         self.state: DemodState | None = None
         self.blocks_processed = 0
+        self.gather_overflow_count = 0  # active-gather slot overflows (see _to_host)
+        self._flush_warmed = False  # k=1 chain pre-compiled (see _warm_flush_path)
 
         self._prime_len = (self.A - 1) * self.hop + self.N
         self._block_need = self.W * self.hop  # new samples consumed per block
@@ -344,6 +372,8 @@ class Pipeline:
             with_ctcss=self.any_ctcss, with_afc=self.any_afc, with_iq=self.any_iq,
             sample_fmt=self._ship if self._ship != "pairs" else "pairs",
             fullscale=float(self.cfg.fullscale),
+            active_slots=max(0, int(self.cfg.active_slots)),
+            with_flags=bool(self.cfg.fetch_open_flags),
         )
 
     def _dispatch(self, k: int) -> None:
@@ -357,22 +387,78 @@ class Pipeline:
         self._pending_consume(k * self._block_need)
         self.blocks_processed += k
         self._inflight.append((k, outs))
+        if k > 1:
+            self._warm_flush_path()
+
+    def _warm_flush_path(self) -> None:
+        """Pre-compile the k=1 chain in a daemon thread.  flush() (stream
+        end, device failure, retune drain) dispatches single blocks; without
+        this, the first flush after a chunked stream stalls for the full k=1
+        compile (~36 s through the axon tunnel).  Warming it in the
+        background during steady streaming makes flush a cache hit.  The
+        warm call runs on zeroed inputs and a zeroed state copy — jit
+        functions are pure, so nothing observable changes."""
+        if self._flush_warmed:
+            return
+        self._flush_warmed = True
+        import threading
+
+        state = jax.tree.map(jnp.zeros_like, self.state)
+        kwargs = self._chain_kwargs()
+        taps, inv_perm, bins, window, params = self._taps, self._inv_perm, self.bins, self.window, self.params
+        n_in = (self.W - 1) * self.hop + self.N
+        if kwargs["sample_fmt"] == "pairs":
+            xb = jnp.zeros((n_in, 2), jnp.float32)
+        elif kwargs["sample_fmt"] == "s16":
+            xb = jnp.zeros(2 * n_in, jnp.int16)
+        else:
+            xb = jnp.zeros(2 * n_in, jnp.uint8)
+
+        def work():
+            try:
+                st, outs = pipeline_chain(xb, bins, window, params, state, k_blocks=1, taps=taps, inv_perm=inv_perm, **kwargs)
+                jax.block_until_ready(st)
+            except Exception:
+                pass  # warm-up is best-effort; flush falls back to compiling
+
+        threading.Thread(target=work, daemon=True, name="flush-warm").start()
 
     def _to_host(self, item) -> Iterator[dict]:
         """Fetch one in-flight chunk and unpack it into per-block dicts with
-        the same keys pipeline_block returns."""
+        the same keys pipeline_block returns.  In active-gather mode
+        (cfg.active_slots > 0) the dense [W, C] audio/iq are reconstructed by
+        scattering the fetched open-channel slots over silence; slot overflow
+        (more open channels than slots) is counted in
+        ``gather_overflow_count`` and the overflowed channels stay silent for
+        the block."""
         k, outs = item
         host = jax.device_get(outs)
         for i in range(k):
-            out = dict(audio=host["audio"][i], open_flags=host["open_flags"][i])
-            out["active"] = host["open_flags"][i].any(axis=0)
+            out = dict(active=host["active"][i])
+            if "slot_channel" in host:
+                idx = host["slot_channel"][i]
+                valid = idx >= 0
+                audio = np.zeros((self.W, self.C), np.float32)
+                audio[:, idx[valid]] = host["audio"][i][:, valid]
+                out["audio"] = audio
+                dropped = int(host["n_active"][i]) - int(valid.sum())
+                out["gather_overflow"] = max(0, dropped)
+                self.gather_overflow_count += out["gather_overflow"]
+                if "iq_out" in host:
+                    iq = np.zeros((self.W, self.C, 2), np.float32)
+                    iq[:, idx[valid]] = host["iq_out"][i][:, valid]
+                    out["iq_out"] = iq
+            else:
+                out["audio"] = host["audio"][i]
+                if "iq_out" in host:
+                    out["iq_out"] = host["iq_out"][i]
+            if "open_flags" in host:
+                out["open_flags"] = host["open_flags"][i]
             for j, name in enumerate(META_F):
                 out[name] = host["meta_f"][i, j]
             for j, name in enumerate(META_I):
                 out[name] = host["meta_i"][i, j]
             out["sig_outside"] = host["meta_i"][i, len(META_I)].astype(bool)
-            if "iq_out" in host:
-                out["iq_out"] = host["iq_out"][i]
             if "spectrum_power" in host:
                 out["spectrum_power"] = host["spectrum_power"][i]
             yield out
@@ -516,3 +602,5 @@ class Pipeline:
         # chunks from the old tuning stay queued and drain in FIFO order
         self._pending = None
         self._primed = False
+        # feature flags may have changed -> the k=1 flush program may differ
+        self._flush_warmed = False

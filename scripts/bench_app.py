@@ -40,10 +40,10 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def build_scene(path: str, freqs_hz: list[int], hot: list[int], center: int, fs: int, seconds: float, wave_rate: int) -> None:
+def build_scene(path: str, freqs_hz: list[int], hot: list[int], center: int, fs: int, total: int, wave_rate: int) -> None:
     from rtlsdr_airband_tpu.utils.siggen import am_carrier_iq, complex_noise
 
-    total = int(fs * seconds)
+    seconds = total / fs
     z = complex_noise(total, 0.004, seed=11)
     t_a = np.arange(int(wave_rate * seconds) + 2, dtype=np.float64) / wave_rate
     for k, ci in enumerate(hot):
@@ -59,6 +59,7 @@ def main() -> int:
     n_channels = int(os.environ.get("BENCH_APP_CHANNELS", "2048"))
     seconds = float(os.environ.get("BENCH_APP_SECONDS", "24"))
     chunk = int(os.environ.get("BENCH_APP_BLOCKS_PER_DISPATCH", "16"))
+    slots = int(os.environ.get("BENCH_APP_ACTIVE_SLOTS", "0"))
 
     from rtlsdr_airband_tpu.utils.jaxcache import enable_persistent_cache
 
@@ -74,9 +75,19 @@ def main() -> int:
     n_hot = max(4, n_channels // 256)
     hot = [int(i) for i in np.linspace(0, n_channels - 1, n_hot).astype(int)]
 
+    # size the recording so the chunked dispatch consumes it EXACTLY: the
+    # priming step eats AGC_EXTRA frames, then n_chunks full K-block chunks;
+    # a ragged tail would make flush() compile a separate k=1 program (a
+    # ~36 s stall through the tunnel) inside the measurement window
+    from rtlsdr_airband_tpu.constants import AGC_EXTRA
+
+    hop, fft_size, W = fs // wave_rate, 512, wave_rate // 8
+    n_chunks = max(1, round(seconds / 0.125 / chunk))
+    total = AGC_EXTRA * hop + n_chunks * chunk * W * hop + (fft_size - hop)
+
     tmp = tempfile.mkdtemp(prefix="bench_app_")
     iq_path = os.path.join(tmp, "scene.cu8")
-    build_scene(iq_path, freqs, hot, center, fs, seconds, wave_rate)
+    build_scene(iq_path, freqs, hot, center, fs, total, wave_rate)
 
     # one CTCSS channel so the device graph matches bench.py (with_ctcss=True)
     chans = []
@@ -88,7 +99,7 @@ def main() -> int:
         )
     cfg_text = (
         f'fft_size = 512;\nwave_rate = {wave_rate};\n'
-        f'blocks_per_dispatch = {chunk};\n'
+        f'blocks_per_dispatch = {chunk};\nactive_fetch_slots = {slots};\n'
         f'devices: ( {{ type = "file"; filepath = "{iq_path}"; centerfreq = {center}; '
         f'sample_rate = {fs}; sample_format = "u8"; speedup_factor = 0.0; '
         f'channels: ( {", ".join(chans)} ); }} );\n'
@@ -108,6 +119,9 @@ def main() -> int:
     def timed(rt, out):
         orig(rt, out)
         stamps.append(time.perf_counter())
+        n = len(stamps)
+        if n == 1 or n % 64 == 0:
+            print(f"[bench_app] block {n} @ t+{stamps[-1] - t0:.1f}s", file=sys.stderr, flush=True)
 
     app._handle_block = timed
 
@@ -116,7 +130,7 @@ def main() -> int:
     wall = time.perf_counter() - t0
 
     n = len(stamps)
-    expected = int(seconds / 0.125)
+    expected = n_chunks * chunk
     # steady state: drop the first chunk (jit compile + pipeline fill)
     k = min(2 * chunk, n // 2)
     steady_ms = (stamps[-1] - stamps[k - 1]) / (n - k) * 1e3 if n > k else float("nan")
@@ -135,10 +149,12 @@ def main() -> int:
             "wall_s": round(wall, 2),
             "config_parse_s": round(t_parse, 2),
             "blocks_per_dispatch": chunk,
+            "active_fetch_slots": slots,
             "hot_channels": len(hot),
             "channels_opened": opened,
+            "gather_overflows": sum(rt.pipeline.gather_overflow_count for rt in app.devices),
             "realtime_channel_capacity": int(n_channels * block_realtime_ms / steady_ms),
-            "fetch_mb_per_block": round(2000 * n_channels * 4 / 1e6, 1),
+            "fetch_mb_per_block": round(2000 * (slots or n_channels) * 4 / 1e6, 1),
         },
     }
     print(json.dumps(result))

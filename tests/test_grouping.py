@@ -54,7 +54,7 @@ def test_grouping_preserves_user_order_outputs(monkeypatch):
             )
         else:
             monkeypatch.undo()
-        pipe = Pipeline(PipelineConfig(sample_rate=FS, center_freq=120_000_000), list(specs))
+        pipe = Pipeline(PipelineConfig(sample_rate=FS, center_freq=120_000_000, fetch_open_flags=True), list(specs))
         outs = [
             {k: np.asarray(v) for k, v in out.items()}
             for out in pipe.feed(x)
@@ -76,7 +76,7 @@ def test_grouping_survives_checkpoint_roundtrip(tmp_path):
     x = _iq_bytes()
     half = x.shape[0] // 2
 
-    pipe = Pipeline(PipelineConfig(sample_rate=FS, center_freq=120_000_000), list(specs))
+    pipe = Pipeline(PipelineConfig(sample_rate=FS, center_freq=120_000_000, fetch_open_flags=True), list(specs))
     a1 = [np.asarray(o["audio"]) for o in pipe.feed(x[:half])]
     pipe.save_state(str(tmp_path / "ckpt.npz"))
     a2 = [np.asarray(o["audio"]) for o in pipe.feed(x[half:])]

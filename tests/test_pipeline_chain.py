@@ -65,10 +65,11 @@ def _specs():
     ]
 
 
-def _run(raw, chunk, depth, step_bytes=512_000):
+def _run(raw, chunk, depth, step_bytes=512_000, slots=0):
     cfg = PipelineConfig(
         sample_rate=FS, center_freq=CENTER, wave_rate=8000, sample_format="u8",
         fullscale=127.5, chunk_blocks=chunk, async_depth=depth,
+        active_slots=slots, fetch_open_flags=True,
     )
     p = Pipeline(cfg, _specs())
     outs = []
@@ -108,7 +109,7 @@ def test_raw_ship_matches_pairs_ship():
     # pairs path: decode host-side, feed complex
     z = decode_iq(raw, SampleFormat.U8)
     zc = (z[:, 0] + 1j * z[:, 1]).astype(np.complex64)
-    cfg = PipelineConfig(sample_rate=FS, center_freq=CENTER, wave_rate=8000, sample_format="f32c", chunk_blocks=2, async_depth=1)
+    cfg = PipelineConfig(sample_rate=FS, center_freq=CENTER, wave_rate=8000, sample_format="f32c", chunk_blocks=2, async_depth=1, fetch_open_flags=True)
     p = Pipeline(cfg, _specs())
     outs_pairs = list(p.feed(zc)) + list(p.flush())
     assert len(outs_raw) == len(outs_pairs) >= 5
@@ -120,3 +121,76 @@ def test_raw_ship_matches_pairs_ship():
         np.testing.assert_allclose(a["audio"], b["audio"], atol=1e-5)
         agree = (a["open_flags"] == b["open_flags"]).mean()
         assert agree >= 0.999
+
+
+def test_active_gather_matches_dense_on_open_channels():
+    """active_slots mode: open channels' audio is bit-identical to the dense
+    fetch; closed channels reconstruct as exact silence; per-block 'active'
+    and meta arrays are unchanged."""
+    raw = _scene_u8()
+    _, dense = _run(raw, chunk=4, depth=1)
+    p, sparse = _run(raw, chunk=4, depth=1, slots=2)
+    assert len(dense) == len(sparse) >= 10
+    opened_any = False
+    for d, s in zip(dense, sparse):
+        np.testing.assert_array_equal(d["active"], s["active"])
+        for ci in range(3):
+            if s["active"][ci]:
+                opened_any = True
+                np.testing.assert_array_equal(d["audio"][:, ci], s["audio"][:, ci])
+            else:
+                assert not s["audio"][:, ci].any()
+        for k in ("signal_level", "noise_level", "squelch_level", "open_count"):
+            np.testing.assert_array_equal(np.asarray(d[k]), s[k])
+        assert s["gather_overflow"] == 0  # scene opens at most 2 of 3
+    assert opened_any
+    assert p.gather_overflow_count == 0
+
+
+def test_active_gather_overflow_counted():
+    """More open channels than slots: the first S open channels keep their
+    audio, the rest are silent for the block, and the overflow is counted."""
+    raw = _scene_u8()
+    _, dense = _run(raw, chunk=2, depth=0)
+    p, sparse = _run(raw, chunk=2, depth=0, slots=1)
+    saw_overflow = False
+    for d, s in zip(dense, sparse):
+        open_idx = np.flatnonzero(s["active"])
+        if len(open_idx) > 1:
+            saw_overflow = True
+            assert s["gather_overflow"] == len(open_idx) - 1
+            kept = open_idx[0]
+            np.testing.assert_array_equal(d["audio"][:, kept], s["audio"][:, kept])
+            for ci in open_idx[1:]:
+                assert not s["audio"][:, ci].any()
+    assert saw_overflow  # the scene opens >=2 channels at once
+    assert p.gather_overflow_count > 0
+
+
+def test_flush_warm_precompiles_k1_chain():
+    """After the first chunked dispatch, the k=1 flush program is compiled in
+    the background (flush()/retune must not stall on a fresh compile); the
+    warm call must not perturb streaming results."""
+    import time
+
+    from rtlsdr_airband_tpu.runtime import pipeline as plmod
+
+    raw = _scene_u8(secs=1.2)
+    p, outs = _run(raw, chunk=4, depth=0)
+    assert p._flush_warmed
+    # wait for the daemon warm thread to finish compiling
+    import threading
+
+    for t in threading.enumerate():
+        if t.name == "flush-warm":
+            t.join(timeout=120)
+    before = plmod.pipeline_chain._cache_size()
+    # a k=1 dispatch now must be a cache hit: no new executable entry
+    leftover = p._pending_samples()
+    outs2 = list(p.flush())
+    if leftover >= p._block_len:
+        assert plmod.pipeline_chain._cache_size() == before
+    # the streamed results are the same as an un-warmed single-block run
+    p1, outs1 = _run(raw, chunk=1, depth=0)
+    for a, b in zip(outs1, outs + outs2):
+        np.testing.assert_array_equal(np.asarray(a["audio"]), b["audio"])
