@@ -91,8 +91,22 @@ class SinkWorker:
                     log(LOG_WARNING, f"sink worker: {type(e).__name__}: {e}")
 
     def close(self, timeout: float = 10.0) -> None:
-        """Drain queued blocks, then stop the thread."""
-        self.q.put(None)
+        """Drain queued blocks, then stop the thread.  If a sink job has
+        wedged permanently (the failure the worker isolates), drop the queued
+        blocks so the sentinel always fits — close() must never hang the
+        app's shutdown on a dead sink."""
+        try:
+            self.q.put(None, timeout=timeout)
+        except queue.Full:
+            try:
+                while True:
+                    self.q.get_nowait()
+            except queue.Empty:
+                pass
+            try:
+                self.q.put_nowait(None)
+            except queue.Full:
+                pass
         self._t.join(timeout=timeout)
 
 
@@ -181,7 +195,7 @@ class App:
         self.mixer_outputs: dict[str, OutputSet] = {}
         wave_batch = self.wave_rate // 8
         for name, mcfg in cfg.mixers.items():
-            m = Mixer(name, wave_batch)
+            m = Mixer(name, wave_batch, clock=clock)
             self.mixers[name] = m
             self.mixer_outputs[name] = _build_output_set(mcfg.outputs, self.wave_rate, self.mixers, mcfg.highpass, mcfg.lowpass, use_localtime=cfg.localtime)
 
@@ -235,11 +249,16 @@ class App:
             )
             centerfreq = scan.center_for(ch0.freqs[0].frequency)
 
-        # scan/AFC devices keep single-block dispatch (their control loops
-        # feed back per block at the reference's 200 ms cadence); others may
-        # chain blocks_per_dispatch blocks per jit call.  One chunk stays in
-        # flight so the host fetch overlaps device compute.
-        chunk = 1 if (scan_mode or any(ch.afc for ch in d.channels)) else self.cfg.blocks_per_dispatch
+        # scan/AFC devices run fully synchronous single-block dispatch
+        # (chunk 1, async_depth 0): their control loops feed back per block
+        # at the reference's 200 ms cadence, and an in-flight block from the
+        # OLD tuning draining after a retune would be misattributed to the
+        # NEW frequency (the reference hops synchronously,
+        # rtl_airband.cpp:112-123).  Other devices chain blocks_per_dispatch
+        # blocks per jit call with one chunk in flight so the host fetch
+        # overlaps device compute.
+        control_device = scan_mode or any(ch.afc for ch in d.channels)
+        chunk = 1 if control_device else self.cfg.blocks_per_dispatch
         pcfg = PipelineConfig(
             sample_rate=d.sample_rate,
             center_freq=centerfreq,
@@ -249,7 +268,7 @@ class App:
             fullscale=d.fullscale if d.fullscale is not None else {"u8": 127.5, "s8": 127.5, "s16": 32768.0, "f32": 1.0}.get(d.sample_format, 1.0),
             fm_quadri=fm_quadri,
             chunk_blocks=chunk,
-            async_depth=1,
+            async_depth=0 if control_device else 1,
             active_slots=self.cfg.active_fetch_slots,
         )
         pipeline = Pipeline(pcfg, specs)
@@ -298,12 +317,15 @@ class App:
             if rt.alive:
                 for out in rt.pipeline.flush():
                     self._handle_block(rt, out)
-        self._service_mixers()
-        # drain sink workers before closing their sinks
+        # drain the device sink workers FIRST (their queues may still hold
+        # mixer put_samples jobs from the final chunks), then mix once more
+        # with force so a partially-gathered batch isn't dropped, then drain
+        # the mixer output workers
         for rt in self.devices:
             if rt.sink_worker is not None:
                 rt.sink_worker.close()
                 rt.stats.output_overrun_count = rt.sink_worker.overrun_count
+        self._service_mixers(force=True)
         for w in self.mixer_workers.values():
             w.close()
         for rt in self.devices:
@@ -478,9 +500,9 @@ class App:
 
     # ---------------------------------------------------------- housekeeping
 
-    def _service_mixers(self) -> None:
+    def _service_mixers(self, force: bool = False) -> None:
         for name, m in self.mixers.items():
-            out = m.poll()
+            out = m.poll(force=force)
             if out is None:
                 continue
             oset = self.mixer_outputs[name]

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import base64
 import socket
+import threading
 import time
 from urllib.parse import quote
 
@@ -54,6 +55,10 @@ class IcecastOutput:
         # unsent bytes (partial writes never drop mid-frame data); capped at
         # MAX_QUEUELEN like libshout's queue (reference: output.cpp:467-479)
         self._queue = bytearray()
+        # single-flight background metadata sender state (see send_metadata)
+        self._meta_lock = threading.Lock()
+        self._meta_pending: str | None = None
+        self._meta_thread: threading.Thread | None = None
 
     # ---------------------------------------------------------- connection
 
@@ -161,8 +166,37 @@ class IcecastOutput:
         return True
 
     def send_metadata(self, song: str, timeout: float = 3.0) -> bool:
-        """Scan-frequency 'song' tag via the admin metadata endpoint
-        (reference: shout_set_metadata, output.cpp:480-497)."""
+        """Queue a scan-frequency 'song' tag for the background single-flight
+        sender and return immediately.
+
+        The admin metadata request needs its own connection; doing that
+        synchronously would stall the audio block cadence for up to the
+        connect timeout when the server is unreachable (the reference reuses
+        its nonblocking shout handle instead, output.cpp:480-497).  A lone
+        daemon thread drains the latest pending tag; newer tags replace
+        unsent older ones (only the current frequency matters)."""
+        with self._meta_lock:
+            self._meta_pending = song
+            if self._meta_thread is None or not self._meta_thread.is_alive():
+                self._meta_thread = threading.Thread(
+                    target=self._meta_worker, args=(timeout,), daemon=True, name="icecast-meta"
+                )
+                self._meta_thread.start()
+        return True
+
+    def _meta_worker(self, timeout: float) -> None:
+        while True:
+            with self._meta_lock:
+                song = self._meta_pending
+                self._meta_pending = None
+                if song is None:
+                    self._meta_thread = None
+                    return
+            self.send_metadata_now(song, timeout)
+
+    def send_metadata_now(self, song: str, timeout: float = 3.0) -> bool:
+        """Synchronous tag send (reference: shout_set_metadata,
+        output.cpp:480-497)."""
         try:
             s = self._open_socket(timeout)  # same transport (TLS mode) as the stream
             if s is None:

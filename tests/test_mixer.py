@@ -51,18 +51,71 @@ def test_stereo_mix_balance():
 
 
 def test_deadline_tolerance_and_silence_fill():
-    # late input: emitted anyway once interval counts down, missing input
-    # contributes silence (reference: mixer.cpp:153-156)
+    # late input: emitted anyway once the WALL-TIME deadline passes, missing
+    # input contributes silence (reference: mixer.cpp:153-156 — tolerance is
+    # MIX_DIVISOR intervals of 62.5 ms wall time, not poll counts)
     m = Mixer("m", W)
     a = m.connect_input()
     m.connect_input()  # never delivers
     m.put_samples(a, np.ones(W, np.float32), True)
-    polls = []
-    for _ in range(MIX_DIVISOR + 1):
-        polls.append(m.poll())
-    emitted = [p for p in polls if p is not None]
-    assert len(emitted) == 1
-    np.testing.assert_allclose(emitted[0], 1.0)
+    t0 = 100.0
+    # rapid polls within the tolerance window: nothing emitted
+    assert m.poll(now=t0) is None
+    assert m.poll(now=t0 + 0.06) is None
+    assert m.poll(now=t0 + m.tolerance_sec - 0.01) is None
+    # deadline passed: emit with silence fill for the missing input
+    out = m.poll(now=t0 + m.tolerance_sec + 0.001)
+    assert out is not None
+    np.testing.assert_allclose(out, 1.0)
+
+
+def test_clock_skewed_devices_both_mixed():
+    # two devices whose blocks land 20 ms apart in wall time: the early
+    # input must WAIT for the late one — neither is dropped (VERDICT r2:
+    # poll-count deadlines dropped the late input systematically)
+    m = Mixer("m", W)
+    a = m.connect_input()
+    b = m.connect_input()
+    t = 50.0
+    for k in range(5):
+        t0 = t + k * 0.125
+        m.put_samples(a, np.full(W, 0.25, np.float32), True)
+        assert m.poll(now=t0 + 0.005) is None  # b not delivered yet
+        m.put_samples(b, np.full(W, 0.5, np.float32), True)
+        out = m.poll(now=t0 + 0.021)  # well within tolerance
+        assert out is not None, f"batch {k} not emitted"
+        np.testing.assert_allclose(out, 0.75, rtol=1e-6)
+        m.output_consumed()
+    assert m.inputs[a].overrun_count == 0
+    assert m.inputs[b].overrun_count == 0
+    assert m.output_overrun_count == 0
+
+
+def test_force_drain_ignores_deadline():
+    # shutdown drain: force-emit whatever is gathered (app stop path)
+    m = Mixer("m", W)
+    a = m.connect_input()
+    m.connect_input()  # never delivers
+    m.put_samples(a, np.ones(W, np.float32), True)
+    t0 = 10.0
+    assert m.poll(now=t0) is None
+    out = m.poll(now=t0 + 0.001, force=True)
+    assert out is not None
+    np.testing.assert_allclose(out, 1.0)
+
+
+def test_faster_than_realtime_stream_lossless():
+    # unpaced (faster-than-realtime) input: every batch where all inputs are
+    # ready emits immediately regardless of wall clock — no drops
+    m = Mixer("m", W)
+    a = m.connect_input()
+    t0 = 7.0
+    for k in range(10):
+        m.put_samples(a, np.full(W, 0.1, np.float32), True)
+        out = m.poll(now=t0)  # wall clock frozen
+        assert out is not None
+        m.output_consumed()
+    assert m.inputs[a].overrun_count == 0
 
 
 def test_input_overrun_counted():

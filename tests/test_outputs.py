@@ -338,6 +338,72 @@ def test_icecast_send_error_disconnects():
     assert not ice.connected
 
 
+def test_icecast_metadata_never_blocks_block_cadence():
+    """send_metadata must return immediately even when the server is a black
+    hole (accepts, then never responds) — a synchronous 3 s connect inside
+    OutputSet.process would stall every device's block cadence (the
+    reference reuses its nonblocking shout handle, output.cpp:480-497)."""
+    import socket as socketlib
+    import time as timelib
+
+    from rtlsdr_airband_tpu.outputs.icecast import IcecastOutput
+
+    srv = socketlib.socket()
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(4)
+    port = srv.getsockname()[1]
+    try:
+        ice = IcecastOutput("127.0.0.1", port, "/mount")
+        t0 = timelib.perf_counter()
+        for _ in range(5):
+            assert ice.send_metadata("121.500 MHz TWR", timeout=2.0)
+        dt = timelib.perf_counter() - t0
+        assert dt < 0.25, f"send_metadata blocked the caller for {dt:.2f}s"
+    finally:
+        srv.close()
+
+
+def test_icecast_metadata_background_delivery():
+    """The single-flight worker really delivers the LATEST queued tag."""
+    import socket as socketlib
+    import threading as threadinglib
+    import time as timelib
+
+    from rtlsdr_airband_tpu.outputs.icecast import IcecastOutput
+
+    got: list[bytes] = []
+    srv = socketlib.socket()
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(4)
+    port = srv.getsockname()[1]
+
+    def serve():
+        srv.settimeout(5.0)
+        try:
+            while True:
+                c, _ = srv.accept()
+                data = c.recv(4096)
+                got.append(data)
+                c.sendall(b"HTTP/1.0 200 OK\r\n\r\n")
+                c.close()
+        except OSError:
+            pass
+
+    t = threadinglib.Thread(target=serve, daemon=True)
+    t.start()
+    try:
+        ice = IcecastOutput("127.0.0.1", port, "/mount")
+        ice.send_metadata("118.700 MHz APP", timeout=2.0)
+        deadline = timelib.time() + 5.0
+        while not got and timelib.time() < deadline:
+            timelib.sleep(0.01)
+        assert got, "metadata request never reached the server"
+        assert b"song=118.700%20MHz%20APP" in got[0]
+        assert b"mount=/mount" in got[0]
+    finally:
+        srv.close()
+
+
 # ---------------------------------------------------------------- pulse sink
 
 
