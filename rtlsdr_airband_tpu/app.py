@@ -110,6 +110,30 @@ class SinkWorker:
         self._t.join(timeout=timeout)
 
 
+class DemodWorker(threading.Thread):
+    """Per-device demod thread (reference: multiple_demod_threads spawns one
+    demodulate() thread per SDR device, rtl_airband.cpp:809-816,1052-1090):
+    runs one device's ring-drain -> pipeline-dispatch -> block-handling loop
+    so device A's host fetch overlaps device B's device compute.  Mixer and
+    sink state touched from here is lock-guarded (runtime/mixer.py) or
+    per-device (stats, scan controllers, the pipeline itself)."""
+
+    def __init__(self, app: "App", rt: "DeviceRuntime"):
+        super().__init__(daemon=True, name=f"demod-{rt.stats.index}")
+        self.app, self.rt = app, rt
+
+    def run(self) -> None:
+        while not self.app.do_exit and self.rt.alive:
+            try:
+                worked = self.app._service_device(self.rt)
+            except Exception as e:  # a broken device must not kill the app
+                log(LOG_WARNING, f"demod worker {self.rt.stats.index}: {type(e).__name__}: {e}")
+                self.rt.alive = False
+                break
+            if not worked:
+                time.sleep(0.005)
+
+
 def _build_output_set(outputs: list[OutputConfig], wave_rate: int, mixers: dict[str, Mixer], highpass: int, lowpass: int, stereo: bool = False, use_localtime: bool = False) -> OutputSet:
     need_mp3 = any(o.type == "icecast" for o in outputs)
     oset = OutputSet(wave_rate, stereo=stereo, need_mp3=need_mp3, highpass=highpass, lowpass=lowpass)
@@ -190,20 +214,44 @@ class App:
         self.do_exit = False
         self._last_output_check = 0.0
 
+        # multi-chip mesh, shared by every device's pipeline (reference
+        # analog: multiple_demod_threads spreads SDR devices over CPU
+        # threads, rtl_airband.cpp:1052-1090; here one device's channel
+        # population spans TPU chips via a ('time', 'chan') mesh)
+        self.mesh = None
+        if cfg.mesh_devices > 1:
+            import jax
+
+            from .parallel.sharding import make_pipeline_mesh
+
+            devs = jax.devices()
+            if len(devs) < cfg.mesh_devices:
+                raise ValueError(f"mesh_devices = {cfg.mesh_devices} but only {len(devs)} JAX device(s) present")
+            self.mesh = make_pipeline_mesh(devs[: cfg.mesh_devices], time_shards=cfg.mesh_time_shards or None)
+            log(LOG_NOTICE, f"multi-chip mesh: {dict(self.mesh.shape)} over {cfg.mesh_devices} device(s)")
+
         # mixers first (reference: parse_mixers before parse_devices)
         self.mixers: dict[str, Mixer] = {}
         self.mixer_outputs: dict[str, OutputSet] = {}
         wave_batch = self.wave_rate // 8
         for name, mcfg in cfg.mixers.items():
-            m = Mixer(name, wave_batch, clock=clock)
-            self.mixers[name] = m
-            self.mixer_outputs[name] = _build_output_set(mcfg.outputs, self.wave_rate, self.mixers, mcfg.highpass, mcfg.lowpass, use_localtime=cfg.localtime)
+            self.mixers[name] = Mixer(name, wave_batch, clock=clock)
 
         self.devices: list[DeviceRuntime] = []
         for di, d in enumerate(cfg.devices):
             if d.disable:
                 continue
             self.devices.append(self._build_device(di, d, fm_quadri))
+
+        # mixer OUTPUT sets after the devices: connecting channel inputs is
+        # what decides each mixer's mono/stereo mode (balance != 0 ->
+        # stereo, reference: mixer.cpp:81-85), and the encoders/sinks need
+        # the final mode at construction
+        for name, mcfg in cfg.mixers.items():
+            self.mixer_outputs[name] = _build_output_set(
+                mcfg.outputs, self.wave_rate, self.mixers, mcfg.highpass, mcfg.lowpass,
+                stereo=self.mixers[name].stereo, use_localtime=cfg.localtime,
+            )
 
         # per-device + per-mixer host output threads (reference:
         # multiple_output_threads, rtl_airband.cpp:1056-1090)
@@ -215,6 +263,7 @@ class App:
                 self.mixer_workers[name] = SinkWorker(f"mixer-{name}")
 
         self.stats_writer = StatsWriter(cfg.stats_filepath, cfg.fft_size, clock=clock) if cfg.stats_filepath else None
+        self._demod_workers: list[DemodWorker] = []
 
     # ------------------------------------------------------------------ build
 
@@ -270,6 +319,8 @@ class App:
             chunk_blocks=chunk,
             async_depth=0 if control_device else 1,
             active_slots=self.cfg.active_fetch_slots,
+            mesh=self.mesh,
+            demod_backend=self.cfg.demod_backend,
         )
         pipeline = Pipeline(pcfg, specs)
 
@@ -306,10 +357,18 @@ class App:
         for rt in self.devices:
             rt.input.init()
             rt.input.start()
+        if self.cfg.multiple_demod_threads and len(self.devices) > 1:
+            self._demod_workers = [DemodWorker(self, rt) for rt in self.devices]
+            for w in self._demod_workers:
+                w.start()
+            log(LOG_NOTICE, f"multiple_demod_threads: {len(self._demod_workers)} per-device demod worker(s)")
         log(LOG_NOTICE, f"started {len(self.devices)} device(s), wave_rate={self.wave_rate}")
 
     def stop(self) -> None:
         self.do_exit = True
+        for w in self._demod_workers:
+            w.join(timeout=30.0)
+        self._demod_workers = []
         for rt in self.devices:
             rt.input.stop()
         # drain in-flight pipeline chunks so no dispatched audio is dropped
@@ -359,40 +418,57 @@ class App:
         finally:
             self.stop()
 
+    def _service_device(self, rt: DeviceRuntime) -> bool:
+        """One service pass for one device: drain its ring into its pipeline,
+        handle completed blocks.  Runs on the main loop, or on the device's
+        own DemodWorker thread when multiple_demod_threads is set."""
+        if not rt.alive:
+            return False
+        if rt.input.state == InputState.FAILED and rt.input.available_bytes() < rt.bytes_per_block:
+            # device dead: feed the sub-block ring remainder (the stream
+            # tail — e.g. the final halo of a file input), drain the
+            # pipeline, then disable its outputs
+            # (reference: rtl_airband.cpp:377-391)
+            rt.alive = False
+            remainder = rt.input.available_bytes()
+            if remainder:
+                tail = rt.input.read_bytes(remainder)
+                if tail is not None:
+                    for out in rt.pipeline.feed(tail):
+                        self._handle_block(rt, out)
+            for out in rt.pipeline.flush():
+                self._handle_block(rt, out)
+            log(LOG_NOTICE, f"device {rt.stats.index}: input failed — disabling outputs")
+            for chrt in rt.channels:
+                for m, idx in chrt.outputs.mixer_feeds:
+                    m.disable_input(idx)
+            return False
+        # ring overflow counter -> device stats (reference: the rx
+        # callback's overflow detection feeding buffer_overflow_count,
+        # input-helpers.cpp:56-61 / output.cpp:787-800)
+        rt.stats.buffer_overflow_count = int(rt.input.ring.overflow_count)
+        raw = rt.input.read_bytes(rt.bytes_per_block)
+        if raw is None:
+            return False
+        t0 = time.perf_counter()
+        n_blocks = 0
+        for out in rt.pipeline.feed(raw):
+            self._handle_block(rt, out)
+            n_blocks += 1
+        if n_blocks:
+            # loop-latency debug trace (reference: rtl_airband.cpp:656-661)
+            debug_print(f"device {rt.stats.index}: {n_blocks} block(s) in {(time.perf_counter() - t0) * 1e3:.2f} ms")
+        return True
+
     def _service_once(self) -> bool:
         worked = False
-        for rt in self.devices:
-            if not rt.alive:
-                continue
-            if rt.input.state == InputState.FAILED and rt.input.available_bytes() < rt.bytes_per_block:
-                # device dead: drain the pipeline, then disable its outputs
-                # (reference: rtl_airband.cpp:377-391)
-                rt.alive = False
-                for out in rt.pipeline.flush():
-                    self._handle_block(rt, out)
-                log(LOG_NOTICE, f"device {rt.stats.index}: input failed — disabling outputs")
-                for chrt in rt.channels:
-                    for m, idx in chrt.outputs.mixer_feeds:
-                        m.disable_input(idx)
-                continue
-            # ring overflow counter -> device stats (reference: the rx
-            # callback's overflow detection feeding buffer_overflow_count,
-            # input-helpers.cpp:56-61 / output.cpp:787-800)
-            rt.stats.buffer_overflow_count = int(rt.input.ring.overflow_count)
-            raw = rt.input.read_bytes(rt.bytes_per_block)
-            if raw is None:
-                continue
-            worked = True
-            t0 = time.perf_counter()
-            n_blocks = 0
-            for out in rt.pipeline.feed(raw):
-                self._handle_block(rt, out)
-                n_blocks += 1
-            if n_blocks:
-                # loop-latency debug trace (reference: rtl_airband.cpp:656-661)
-                debug_print(f"device {rt.stats.index}: {n_blocks} block(s) in {(time.perf_counter() - t0) * 1e3:.2f} ms")
+        if not self._demod_workers:
+            for rt in self.devices:
+                worked |= self._service_device(rt)
         self._service_mixers()
         self._service_outputs_check()
+        if self.tui and self._demod_workers:
+            self._draw_tui()
         if self.stats_writer is not None:
             self.stats_writer.maybe_write(
                 [rt.stats for rt in self.devices],
@@ -485,8 +561,8 @@ class App:
         if scan_freq_changed is not None:
             self._retune_scan(rt, scan_freq_changed)
 
-        if self.tui:
-            self._draw_tui()
+        if self.tui and not self._demod_workers:
+            self._draw_tui()  # with demod workers the main loop redraws
 
     def _retune_scan(self, rt: DeviceRuntime, new_center: int) -> None:
         """reference: controller_thread hop (rtl_airband.cpp:112-123)."""
@@ -508,7 +584,6 @@ class App:
             oset = self.mixer_outputs[name]
             worker = self.mixer_workers.get(name)
             if m.stereo:
-                oset.stereo = True
                 args, kwargs = (out[:, 0],), dict(audio_r=out[:, 1], has_signal=getattr(m, "has_signal", True))
             else:
                 args, kwargs = (out,), dict(has_signal=getattr(m, "has_signal", True))

@@ -33,6 +33,15 @@ import jax.numpy as jnp
 import numpy as np
 
 
+# Explicit MXU precision for the channelizer matmul.  On v5e the DEFAULT f32
+# dot is a single bf16 pass once C is large enough to hit the MXU: measured
+# 52.9 dB SNR vs f64 at C=8192 — below the >=80 dB E2E audio bound
+# (tests/test_e2e_reference.py).  HIGH (bf16_3x) restores 98.4 dB for +13%
+# channelizer time (~3% of block time); HIGHEST (f32_6x) gives 135.8 dB at
+# +52%.  Numbers: scripts/bench_bf16.py, recorded in BENCH_SCALING.md.
+MATMUL_PRECISION = jax.lax.Precision.HIGH
+
+
 def block_input_len(n_frames: int, hop: int, fft_size: int) -> int:
     """Raw IQ samples needed to produce ``n_frames`` channelizer outputs."""
     return (n_frames - 1) * hop + fft_size
@@ -85,8 +94,9 @@ def channelize_matmul(x: jax.Array, bins: jax.Array, window: jax.Array, *, hop: 
     fr, fi = frames[..., 0], frames[..., 1]
     tr, ti = taps if taps is not None else make_taps(bins, window)
     # (fr + i·fi) @ (tr + i·ti)^T
-    yr = fr @ tr.T - fi @ ti.T
-    yi = fr @ ti.T + fi @ tr.T
+    dot = partial(jnp.dot, precision=MATMUL_PRECISION)
+    yr = dot(fr, tr.T) - dot(fi, ti.T)
+    yi = dot(fr, ti.T) + dot(fi, tr.T)
     mags = jnp.sqrt(yr * yr + yi * yi)
     return mags, jnp.stack([yr, yi], axis=-1)
 

@@ -105,8 +105,62 @@ def make_global_input(mesh: Mesh, local_body_slices: dict[int, np.ndarray], tail
     return _concat_body_tail(body_arr, tail_arr)
 
 
+def make_global_chain_input(
+    mesh: Mesh,
+    local_bodies: dict[int, np.ndarray],
+    tails: np.ndarray | None,
+    *,
+    k_blocks: int,
+    n_frames: int,
+    hop: int,
+    halo: int,
+):
+    """Per-host ingest for the CHAINED production dispatch
+    (runtime.pipeline.pipeline_chain with mesh set): assemble the stacked
+    (bodies, tails) global arrays from per-host pieces.
+
+    local_bodies maps time-shard index -> this host's [k_blocks, local_body,
+    2] IQ pairs (or [k_blocks, 2*local_body] raw) for the shards
+    :func:`host_input_range` assigned to this process; ``tails`` is
+    [k_blocks, halo, 2] f32 pairs from the process owning the stream end
+    (halo_len > 0 in its ranges), ``None`` elsewhere — broadcast to all.
+
+    Returns (bodies, tails) ready to pass as ``x`` to pipeline_chain.
+    """
+    from jax.experimental import multihost_utils
+
+    body = n_frames * hop
+    shards = sorted(local_bodies.items())
+    raw = shards and shards[0][1].ndim == 2 and shards[0][1].shape[-1] != 2
+    if shards:
+        local = np.concatenate([s for _, s in shards], axis=1)
+    else:
+        local = np.zeros((k_blocks, 0) if raw else (k_blocks, 0, 2), np.float32)
+    gshape = (k_blocks, 2 * body) if raw else (k_blocks, body, 2)
+    spec = P(None, "time") if raw else P(None, "time", None)
+    bodies = jax.make_array_from_process_local_data(NamedSharding(mesh, spec), local, global_shape=gshape)
+    if tails is None:
+        t_local = np.zeros((k_blocks, halo, 2), np.float32)
+        is_source = False
+    else:
+        t_local = np.asarray(tails, np.float32)
+        assert t_local.shape == (k_blocks, halo, 2), t_local.shape
+        is_source = True
+    if jax.process_count() > 1:
+        t_local = np.asarray(multihost_utils.broadcast_one_to_all(t_local, is_source=is_source))
+    t_arr = jax.make_array_from_process_local_data(NamedSharding(mesh, P()), t_local, global_shape=t_local.shape)
+    return bodies, t_arr
+
+
 def local_audio_shards(audio: jax.Array):
     """Yield (channel_slice, ndarray) for the audio channels this host holds
-    ([W, C] channel-sharded output) — what this host's sinks should drain."""
+    ([W, C] or chained [K, W, C] channel-sharded output) — what this host's
+    sinks should drain."""
+    seen = set()
     for shard in audio.addressable_shards:
-        yield shard.index[1], np.asarray(shard.data)
+        idx = shard.index[-1]
+        key = (idx.start, idx.stop)
+        if key in seen:  # audio is replicated over 'time' rows of the mesh
+            continue
+        seen.add(key)
+        yield idx, np.asarray(shard.data)

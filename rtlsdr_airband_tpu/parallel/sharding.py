@@ -37,7 +37,7 @@ except ImportError:  # pragma: no cover
         return _shard_map(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs, check_rep=False)
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..ops.channelizer import make_frames, make_taps
+from ..ops.channelizer import MATMUL_PRECISION, make_frames, make_taps
 from ..ops.demod import ChannelParams, DemodState, demod_block
 
 
@@ -97,26 +97,37 @@ def replicate(mesh: Mesh, tree):
     return jax.tree.map(lambda leaf: jax.device_put(leaf, NamedSharding(mesh, P())), tree)
 
 
-def channelize_time_sharded(mesh: Mesh, x: jax.Array, bins: jax.Array, window: jax.Array, *, hop: int, fft_size: int, n_frames: int):
+def channelize_time_sharded_parts(
+    mesh: Mesh,
+    x_body: jax.Array,  # [n_frames*hop, 2] f32 pairs, sharded P('time', None)
+    x_tail: jax.Array,  # [fft_size-hop, 2] f32 pairs, replicated
+    bins: jax.Array,
+    window: jax.Array,
+    *,
+    hop: int,
+    fft_size: int,
+    n_frames: int,
+    taps: tuple[jax.Array, jax.Array] | None = None,
+):
     """Overlap-save channelizer sharded over the 'time' mesh axis.
 
-    ``x`` is the full block input [n_frames*hop + (fft_size-hop)] (the global
-    halo already appended by the framer).  Each time shard processes
-    n_frames/T frames; the fft_size-hop halo between neighbouring shards is
-    exchanged over ICI with ppermute, the TPU-native equivalent of the
-    reference's ring-buffer tail duplication (input-helpers.cpp:27-54).
+    Each time shard processes n_frames/T frames; the fft_size-hop halo
+    between neighbouring shards is exchanged over ICI with ppermute, the
+    TPU-native equivalent of the reference's ring-buffer tail duplication
+    (input-helpers.cpp:27-54).  The final shard's halo is the global tail
+    ``x_tail`` (the stream look-ahead the framer appended).
+
+    ``taps``: optional precomputed make_taps(bins, window) — streaming
+    callers pass it so the [C, N] sincos is paid per retune, not per block.
     """
     T = mesh.shape["time"]
-    assert n_frames % T == 0
+    assert n_frames % T == 0, (n_frames, T)
     local_frames = n_frames // T
-    body = n_frames * hop  # samples excluding the final halo
+    body = n_frames * hop
     halo = fft_size - hop
     assert body % T == 0
-    local_body = body // T
 
-    x_body, x_tail = x[:body], x[body:]  # tail: [halo, 2]
-
-    def kernel(xb, xt, b, w):
+    def kernel(xb, xt, b, w, tp):
         # xb: [local_body, 2] this shard's IQ pairs; xt: [halo, 2] global tail
         i = jax.lax.axis_index("time")
         T_ = jax.lax.axis_size("time")
@@ -127,18 +138,29 @@ def channelize_time_sharded(mesh: Mesh, x: jax.Array, bins: jax.Array, window: j
         my_halo = jnp.where(i == T_ - 1, xt, recv)
         xloc = jnp.concatenate([xb, my_halo], axis=0)
         frames = make_frames(xloc, hop, fft_size, local_frames)  # [F, N, 2]
-        tr, ti = make_taps(b, w)
+        tr, ti = tp if tp is not None else make_taps(b, w)
         fr, fi = frames[..., 0], frames[..., 1]
-        yr = fr @ tr.T - fi @ ti.T
-        yi = fr @ ti.T + fi @ tr.T
+        dot = partial(jnp.dot, precision=MATMUL_PRECISION)
+        yr = dot(fr, tr.T) - dot(fi, ti.T)
+        yi = dot(fr, ti.T) + dot(fi, tr.T)
         return jnp.sqrt(yr * yr + yi * yi), jnp.stack([yr, yi], axis=-1)
 
     return shard_map(
         kernel,
         mesh=mesh,
-        in_specs=(P("time", None), P(None, None), P(), P()),
+        in_specs=(P("time", None), P(None, None), P(), P(), P()),
         out_specs=(P("time", None), P("time", None, None)),
-    )(x_body, x_tail, bins, window)
+    )(x_body, x_tail, bins, window, taps)
+
+
+def channelize_time_sharded(mesh: Mesh, x: jax.Array, bins: jax.Array, window: jax.Array, *, hop: int, fft_size: int, n_frames: int):
+    """Whole-block wrapper over :func:`channelize_time_sharded_parts`:
+    ``x`` is [n_frames*hop + (fft_size-hop), 2] with the global halo already
+    appended by the framer."""
+    body = n_frames * hop
+    return channelize_time_sharded_parts(
+        mesh, x[:body], x[body:], bins, window, hop=hop, fft_size=fft_size, n_frames=n_frames
+    )
 
 
 def make_sharded_pipeline_step(
@@ -155,46 +177,29 @@ def make_sharded_pipeline_step(
     """Build the jitted multi-chip block step: time-sharded overlap-save
     channelizer → all-to-all reshard → channel-sharded demod scan.
 
+    Thin wrapper over the production implementation
+    (runtime.pipeline._pipeline_block_impl with ``mesh`` set) so every parity
+    test of this step exercises the exact code path the App's mesh-mode
+    Pipeline dispatches.
+
     demod_backend='pallas' runs the Mosaic demod kernel per channel shard
     under an explicit shard_map (each device's shard is one independent
     kernel launch — the demod stage has zero cross-channel communication);
     'xla' (default) lets GSPMD partition the lax.scan path, which is what the
-    CPU mesh dry-runs use."""
+    CPU mesh dry-runs use.  pallas_interpret=True runs the kernel in Pallas
+    interpret mode for CPU-mesh testing of the sharded-kernel deployment
+    configuration."""
+    from ..runtime.pipeline import _pipeline_block_impl
 
-    # demod is per-channel state recurrence with zero cross-channel
-    # communication — shard channels over EVERY device (both mesh axes), so
-    # the time-axis devices don't idle through the demod stage.
-    call_axes = ("time", "chan")
+    body = n_frames * hop
 
     def step(x, bins, window, params: ChannelParams, state: DemodState):
-        mags, iqs = channelize_time_sharded(mesh, x, bins, window, hop=hop, fft_size=fft_size, n_frames=n_frames)
-        # reshard [time-sharded frames, C] -> [frames, all-device-sharded C]:
-        # GSPMD lowers this to one all-to-all over ICI.
-        mags = jax.lax.with_sharding_constraint(mags, NamedSharding(mesh, P(None, call_axes)))
-        iqs = jax.lax.with_sharding_constraint(iqs, NamedSharding(mesh, P(None, call_axes, None)))
-        cdim = mags.shape[-1]
-        state = jax.tree.map(
-            lambda l: jax.lax.with_sharding_constraint(l, NamedSharding(mesh, channel_pspec(l.shape, cdim, call_axes))), state
+        state, out = _pipeline_block_impl(
+            (x[:body], x[body:]), bins, window, params, state,
+            hop=hop, fft_size=fft_size, n_frames=n_frames,
+            fm_quadri=fm_quadri, with_ctcss=with_ctcss,
+            demod_backend=demod_backend, mesh=mesh, pallas_interpret=pallas_interpret,
         )
-        if demod_backend == "pallas":
-            from ..ops.demod_pallas import demod_block_pallas
-
-            def local_demod(params, state, mags, iqs):
-                return demod_block_pallas(
-                    params, state, mags, iqs,
-                    fm_quadri=fm_quadri, with_ctcss=with_ctcss, interpret=pallas_interpret,
-                )
-
-            pspec = jax.tree.map(lambda l: channel_pspec(l.shape, cdim, call_axes), params)
-            sspec = jax.tree.map(lambda l: channel_pspec(l.shape, cdim, call_axes), state)
-            state, audio, iq_out, open_flags = shard_map(
-                local_demod,
-                mesh=mesh,
-                in_specs=(pspec, sspec, P(None, call_axes), P(None, call_axes, None)),
-                out_specs=(sspec, P(None, call_axes), P(None, call_axes, None), P(None, call_axes)),
-            )(params, state, mags, iqs)
-        else:
-            state, audio, iq_out, open_flags = demod_block(params, state, mags, iqs, fm_quadri=fm_quadri, with_ctcss=with_ctcss)
-        return state, audio, iq_out, jnp.any(open_flags, axis=0)
+        return state, out["audio"], out["iq_out"], out["active"]
 
     return jax.jit(step)

@@ -178,6 +178,14 @@ class GlobalConfig:
     # transfer to this many OPEN channels per block (active-channel gather);
     # closed channels reconstruct as silence.  0 = fetch all channels dense.
     active_fetch_slots: int = 0
+    # Multi-chip mesh (reference analog: multiple_demod_threads device-data
+    # parallelism, rtl_airband.cpp:1052-1090 — here ONE jitted program spans
+    # a ('time', 'chan') jax.sharding.Mesh; the channelizer is overlap-save
+    # sharded over 'time' with ppermute halo exchange, the demod state
+    # recurrences shard over channels across every device):
+    mesh_devices: int = 0  # 0/1 = single device; N>1 = span N TPU chips
+    mesh_time_shards: int = 0  # 0 = auto (2 when devices >= 4 and even)
+    demod_backend: str = "auto"  # 'auto' | 'xla' | 'pallas'
     log_scan_activity: bool = False
     stats_filepath: str | None = None
     tau_us: float | None = None
@@ -369,6 +377,8 @@ def parse_config(doc: dict) -> GlobalConfig:
     fft_size = int(doc.get("fft_size", 512))
     if fft_size & (fft_size - 1) or not (256 <= fft_size <= 8192):
         raise ConfigError("fft_size must be a power of 2 in 256..8192")
+    if str(doc.get("demod_backend", "auto")) not in ("auto", "xla", "pallas"):
+        raise ConfigError("demod_backend must be auto, xla, or pallas")
 
     default_tau = float(doc["tau"]) if "tau" in doc else None
 
@@ -408,6 +418,9 @@ def parse_config(doc: dict) -> GlobalConfig:
         log_scan_activity=bool(doc.get("log_scan_activity", False)),
         blocks_per_dispatch=max(1, int(doc.get("blocks_per_dispatch", 1))),
         active_fetch_slots=max(0, int(doc.get("active_fetch_slots", 0))),
+        mesh_devices=max(0, int(doc.get("mesh_devices", 0))),
+        mesh_time_shards=max(0, int(doc.get("mesh_time_shards", 0))),
+        demod_backend=str(doc.get("demod_backend", "auto")),
         stats_filepath=doc.get("stats_filepath"),
         tau_us=default_tau,
         pidfile=doc.get("pidfile"),

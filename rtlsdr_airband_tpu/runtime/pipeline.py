@@ -75,6 +75,8 @@ def _pipeline_block_impl(
     fullscale: float = 1.0,
     taps: tuple[jax.Array, jax.Array] | None = None,
     inv_perm: jax.Array | None = None,
+    mesh=None,
+    pallas_interpret: bool = False,
 ):
     """Fused channelize + demod for one block (the whole device program).
 
@@ -89,21 +91,78 @@ def _pipeline_block_impl(
     inv_perm: optional [C] int32 — when channels were reordered by
     cost_group_permutation (so the Pallas kernel's per-tile CTCSS gate skips
     CTCSS-free tiles), this restores user channel order on every per-channel
-    output before it crosses to host."""
-    if sample_fmt != "pairs":
-        x = decode_raw_iq(x, sample_fmt, fullscale)
-    chan = channelize_fft if use_fft else channelize_matmul
-    if use_fft:
-        mags, iqs = chan(x, bins, window, hop=hop, fft_size=fft_size, n_frames=n_frames)
-    else:
-        mags, iqs = chan(x, bins, window, hop=hop, fft_size=fft_size, n_frames=n_frames, taps=taps)
-    backend = default_demod_backend() if demod_backend == "auto" else demod_backend
-    if backend == "pallas":
-        from ..ops.demod_pallas import demod_block_pallas
+    output before it crosses to host.
 
-        state, audio, iq_out, open_flags = demod_block_pallas(params, state, mags, iqs, fm_quadri=fm_quadri, with_ctcss=with_ctcss, with_iq=with_iq)
+    MESH MODE (``mesh`` is a jax.sharding.Mesh with ('time', 'chan') axes —
+    the reference's only parallelism is pthreads in one process,
+    SURVEY.md §2.5): ``x`` is a (body, tail) pair — body [n_frames*hop(·2
+    when raw)] sharded over 'time', tail [fft_size-hop, 2] f32 pairs
+    replicated.  The channelizer runs time-sharded under shard_map with
+    ppermute halo exchange over ICI; the demod state recurrences are sharded
+    over channels across EVERY device (both mesh axes) via one GSPMD
+    all-to-all reshard.  demod_backend='pallas' launches the Mosaic kernel
+    per channel shard under an explicit shard_map (pallas_interpret=True for
+    CPU-mesh testing)."""
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..parallel.sharding import channel_pspec, channelize_time_sharded_parts
+
+        x_body, x_tail = x
+        if sample_fmt != "pairs":
+            x_body = decode_raw_iq(x_body, sample_fmt, fullscale)
+        x_body = jax.lax.with_sharding_constraint(x_body, NamedSharding(mesh, P("time", None)))
+        mags, iqs = channelize_time_sharded_parts(
+            mesh, x_body, x_tail, bins, window, hop=hop, fft_size=fft_size, n_frames=n_frames, taps=taps
+        )
+        # reshard [time-sharded frames, C] -> [frames, all-device-sharded C]:
+        # GSPMD lowers this to one all-to-all over ICI.  The demod stage is
+        # per-channel recurrence with zero cross-channel communication, so
+        # channels spread over BOTH axes — the time devices don't idle.
+        call_axes = ("time", "chan")
+        mags = jax.lax.with_sharding_constraint(mags, NamedSharding(mesh, P(None, call_axes)))
+        iqs = jax.lax.with_sharding_constraint(iqs, NamedSharding(mesh, P(None, call_axes, None)))
+        cdim = mags.shape[-1]
+        state = jax.tree.map(
+            lambda l: jax.lax.with_sharding_constraint(l, NamedSharding(mesh, channel_pspec(l.shape, cdim, call_axes))), state
+        )
+        backend = default_demod_backend() if demod_backend == "auto" else demod_backend
+        if backend == "pallas":
+            from ..ops.demod_pallas import demod_block_pallas
+            from ..parallel.sharding import shard_map
+
+            def local_demod(params, state, mags, iqs):
+                return demod_block_pallas(
+                    params, state, mags, iqs,
+                    fm_quadri=fm_quadri, with_ctcss=with_ctcss, with_iq=with_iq, interpret=pallas_interpret,
+                )
+
+            pspec = jax.tree.map(lambda l: channel_pspec(l.shape, cdim, call_axes), params)
+            sspec = jax.tree.map(lambda l: channel_pspec(l.shape, cdim, call_axes), state)
+            state, audio, iq_out, open_flags = shard_map(
+                local_demod,
+                mesh=mesh,
+                in_specs=(pspec, sspec, P(None, call_axes), P(None, call_axes, None)),
+                out_specs=(sspec, P(None, call_axes), P(None, call_axes, None), P(None, call_axes)),
+            )(params, state, mags, iqs)
+        else:
+            state, audio, iq_out, open_flags = demod_block(params, state, mags, iqs, fm_quadri=fm_quadri, with_ctcss=with_ctcss)
+        x = jnp.concatenate([x_body, x_tail], axis=0) if with_afc else x_body
     else:
-        state, audio, iq_out, open_flags = demod_block(params, state, mags, iqs, fm_quadri=fm_quadri, with_ctcss=with_ctcss)
+        if sample_fmt != "pairs":
+            x = decode_raw_iq(x, sample_fmt, fullscale)
+        chan = channelize_fft if use_fft else channelize_matmul
+        if use_fft:
+            mags, iqs = chan(x, bins, window, hop=hop, fft_size=fft_size, n_frames=n_frames)
+        else:
+            mags, iqs = chan(x, bins, window, hop=hop, fft_size=fft_size, n_frames=n_frames, taps=taps)
+        backend = default_demod_backend() if demod_backend == "auto" else demod_backend
+        if backend == "pallas":
+            from ..ops.demod_pallas import demod_block_pallas
+
+            state, audio, iq_out, open_flags = demod_block_pallas(params, state, mags, iqs, fm_quadri=fm_quadri, with_ctcss=with_ctcss, with_iq=with_iq)
+        else:
+            state, audio, iq_out, open_flags = demod_block(params, state, mags, iqs, fm_quadri=fm_quadri, with_ctcss=with_ctcss)
     # Per-channel observability snapshots, derived from the end-of-block
     # state exactly as the reference's stats/TUI read the live Squelch
     # (reference: output.cpp:598-869, rtl_airband.cpp:632-643):
@@ -136,7 +195,7 @@ def _pipeline_block_impl(
     return state, out
 
 
-_PIPELINE_STATICS = ("hop", "fft_size", "n_frames", "use_fft", "fm_quadri", "with_ctcss", "with_afc", "with_iq", "demod_backend", "sample_fmt", "fullscale")
+_PIPELINE_STATICS = ("hop", "fft_size", "n_frames", "use_fft", "fm_quadri", "with_ctcss", "with_afc", "with_iq", "demod_backend", "sample_fmt", "fullscale", "mesh", "pallas_interpret")
 
 pipeline_block = partial(jax.jit, static_argnames=_PIPELINE_STATICS)(_pipeline_block_impl)
 
@@ -169,11 +228,23 @@ def pipeline_chain(
     inv_perm: jax.Array | None = None,
     active_slots: int = 0,
     with_flags: bool = False,
+    mesh=None,
+    pallas_interpret: bool = False,
 ):
     """Chain ``k_blocks`` streaming blocks in ONE dispatch (lax.scan threading
     the demod state), amortizing the per-call tunnel RTT — the production
     analog of bench.py's measurement protocol, and the TPU-native equivalent
     of the reference's thread-decoupled stages (rtl_airband.cpp:1093-1112).
+
+    MESH MODE (``mesh`` set): ``x`` is a (bodies, tails) pair of stacked
+    per-block inputs — bodies [K, n_frames*hop(·2 when raw)] with the
+    per-block axis sharded over 'time', tails [K, fft_size-hop, 2] f32 pairs
+    replicated (blocks overlap by the halo, so the stacked layout re-ships
+    ~0.1% of the stream; in exchange every time shard's slice boundary is
+    static).  Each scanned block runs the sharded step of
+    ``_pipeline_block_impl``; per-channel meta/active outputs are replicated
+    for host consumption while the dense audio stays channel-sharded (each
+    host drains only its addressable channels — multihost.local_audio_shards).
 
     Per-channel scalar outputs are packed into two dense arrays (``meta_f``
     [K, 3, C] f32 and ``meta_i`` [K, 5, C] i32) so a chunk costs a handful of
@@ -198,14 +269,33 @@ def pipeline_chain(
             return jax.lax.dynamic_slice(x, (k * step, 0), (need, 2))
         return jax.lax.dynamic_slice(x, (k * step * 2,), (need * 2,))
 
-    def body(st, k):
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+    def body(st, xk):
         st, out = _pipeline_block_impl(
-            get_block(k), bins, window, params, st,
+            xk if mesh is not None else get_block(xk), bins, window, params, st,
             hop=hop, fft_size=fft_size, n_frames=n_frames, use_fft=use_fft,
             fm_quadri=fm_quadri, with_ctcss=with_ctcss, with_afc=with_afc,
             with_iq=with_iq, demod_backend=demod_backend,
             sample_fmt=sample_fmt, fullscale=fullscale, taps=taps, inv_perm=inv_perm,
+            mesh=mesh, pallas_interpret=pallas_interpret,
         )
+        if mesh is not None:
+            # meta/active are small per-channel snapshots every host's stats
+            # consume -> replicate; the dense [W, C] audio/iq stay sharded
+            # over channels so each host only fetches what its sinks drain.
+            repl = lambda a: jax.lax.with_sharding_constraint(a, NamedSharding(mesh, P()))
+            for k_ in ("active", "signal_level", "noise_level", "squelch_level", "sig_outside",
+                       "open_count", "flappy_count", "ctcss_found", "ctcss_not_found"):
+                out[k_] = repl(out[k_])
+            out["audio"] = jax.lax.with_sharding_constraint(
+                out["audio"], NamedSharding(mesh, P(None, ("time", "chan")))
+            )
+            if with_iq:
+                out["iq_out"] = jax.lax.with_sharding_constraint(
+                    out["iq_out"], NamedSharding(mesh, P(None, ("time", "chan"), None))
+                )
         packed = dict(
             audio=out["audio"],
             active=out["active"],
@@ -216,20 +306,41 @@ def pipeline_chain(
             packed["open_flags"] = out["open_flags"]
         if active_slots:
             slots = min(active_slots, out["audio"].shape[1])
-            idx = jnp.nonzero(out["active"], size=slots, fill_value=-1)[0].astype(jnp.int32)
-            valid = idx >= 0
+            # gather channels with ANY nonzero audio, not just squelch-open
+            # ones: the AM squelch-close fade tail (and the reference's 0.5
+            # waveout init, config.cpp:315) emits audio on channels whose
+            # squelch is already closed — keying on open flags alone would
+            # truncate every transmission's fade-out.  Squelch-open channels
+            # outrank fade-tail-only ones when slots are scarce (top_k is
+            # stable: ties resolve to ascending channel index).
+            score = out["active"].astype(jnp.int32) * 2 + (jnp.max(jnp.abs(out["audio"]), axis=0) > 0.0).astype(jnp.int32)
+            vals, idx = jax.lax.top_k(score, slots)
+            valid = vals > 0
+            idx = jnp.where(valid, idx, -1).astype(jnp.int32)
             g = jnp.maximum(idx, 0)
             packed["audio"] = jnp.where(valid[None, :], out["audio"][:, g], 0.0)
             packed["slot_channel"] = idx
-            packed["n_active"] = jnp.sum(out["active"]).astype(jnp.int32)
+            packed["n_active"] = jnp.sum(score > 0).astype(jnp.int32)
             if with_iq:
                 packed["iq_out"] = jnp.where(valid[None, :, None], out["iq_out"][:, g], 0.0)
+            if mesh is not None:
+                # the gathered [W, S] slots are the whole point of the fetch
+                # economy — replicate so every host can drain them directly
+                # (XLA gathers the S open channels over ICI, not the tunnel)
+                repl = lambda a: jax.lax.with_sharding_constraint(a, NamedSharding(mesh, P()))
+                packed["audio"] = repl(packed["audio"])
+                packed["slot_channel"] = repl(packed["slot_channel"])
+                packed["n_active"] = repl(packed["n_active"])
+                if with_iq:
+                    packed["iq_out"] = repl(packed["iq_out"])
         elif with_iq:
             packed["iq_out"] = out["iq_out"]
         if with_afc:
             packed["spectrum_power"] = out["spectrum_power"]
         return st, packed
 
+    if mesh is not None:
+        return jax.lax.scan(body, state, x)  # x = (bodies [K, ...], tails [K, halo, 2])
     return jax.lax.scan(body, state, jnp.arange(k_blocks))
 
 
@@ -249,6 +360,12 @@ class PipelineConfig:
     async_depth: int = 0  # in-flight chunks before feed() yields (0 = sync)
     active_slots: int = 0  # >0: fetch only open channels' audio (S slots)
     fetch_open_flags: bool = False  # ship per-sample [W, C] flags (diagnostic)
+    # multi-chip (reference analog: multiple_demod_threads device-data
+    # parallelism, rtl_airband.cpp:1052-1090 — here one jit program spans a
+    # ('time', 'chan') device mesh instead):
+    mesh: object = None  # jax.sharding.Mesh | None
+    demod_backend: str = "auto"  # 'auto' | 'xla' | 'pallas'
+    pallas_interpret: bool = False  # CPU-mesh testing of the pallas branch
 
     @property
     def hop(self) -> int:
@@ -306,6 +423,34 @@ class Pipeline:
         self._prime_len = (self.A - 1) * self.hop + self.N
         self._block_need = self.W * self.hop  # new samples consumed per block
         self._block_len = block_input_len(self.W, self.hop, self.N)
+
+        # ---- multi-chip mesh mode -------------------------------------
+        self.mesh = cfg.mesh
+        if self.mesh is not None:
+            T = self.mesh.shape["time"]
+            ndev = self.mesh.size
+            if self.W % T:
+                raise ValueError(f"wave_batch {self.W} not divisible by time shards {T}")
+            backend = cfg.demod_backend
+            if backend == "auto":
+                backend = default_demod_backend()
+            if backend == "pallas" and self.C % ndev:
+                raise ValueError(f"pallas demod under shard_map needs channels ({self.C}) divisible by mesh devices ({ndev})")
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from ..parallel.sharding import shard_last
+
+            self._repl = lambda tree: jax.tree.map(
+                lambda l: jax.device_put(l, NamedSharding(self.mesh, P())), tree
+            )
+            self._shard_chan = lambda tree: shard_last(self.mesh, tree, axis=("time", "chan"), channel_dim=self.C)
+            self._tail_sharding = NamedSharding(self.mesh, P())
+            self._body_sharding_raw = NamedSharding(self.mesh, P(None, "time"))
+            self._body_sharding_pairs = NamedSharding(self.mesh, P(None, "time", None))
+            self.params = self._shard_chan(self.params)
+            self.window = self._repl(self.window)
+            self.bins = self._repl(self.bins)
+            self._taps = self._repl(self._taps)
 
     # ----------------------------------------------------------------- host
 
@@ -374,12 +519,39 @@ class Pipeline:
             fullscale=float(self.cfg.fullscale),
             active_slots=max(0, int(self.cfg.active_slots)),
             with_flags=bool(self.cfg.fetch_open_flags),
+            demod_backend=self.cfg.demod_backend,
+            mesh=self.mesh,
+            pallas_interpret=bool(self.cfg.pallas_interpret),
         )
+
+    def _stacked_input(self, k: int):
+        """Mesh-mode chain input: per-block (bodies, tails) stacks, bodies
+        laid out P(None, 'time') so each time shard's slice boundary is
+        static (blocks overlap by the halo -> ~0.1% of the stream re-ships).
+        Tails are tiny (fft_size-hop samples) and ship as replicated f32
+        pairs regardless of the raw format."""
+        body, halo = self._block_need, self.N - self.hop
+        if self._ship == "pairs":
+            p = self._pending
+            bodies = np.stack([p[j * body : (j + 1) * body] for j in range(k)])
+            tails = np.stack([p[(j + 1) * body : (j + 1) * body + halo] for j in range(k)])
+        else:
+            p = self._pending  # raw domain: 2 values per sample
+            bodies = np.stack([p[2 * j * body : 2 * (j + 1) * body] for j in range(k)])
+            tails = np.stack(
+                [self._decode(p[2 * (j + 1) * body : 2 * ((j + 1) * body + halo)].tobytes()) for j in range(k)]
+            )
+        xb = jax.device_put(bodies, self._body_sharding_raw if self._ship != "pairs" else self._body_sharding_pairs)
+        xt = jax.device_put(tails.astype(np.float32), self._tail_sharding)
+        return xb, xt
 
     def _dispatch(self, k: int) -> None:
         """Launch one k-block chained dispatch on the pending stream."""
-        n_in = (k * self.W - 1) * self.hop + self.N
-        xb = jnp.asarray(self._pending_slice(n_in))
+        if self.mesh is not None:
+            xb = self._stacked_input(k)
+        else:
+            n_in = (k * self.W - 1) * self.hop + self.N
+            xb = jnp.asarray(self._pending_slice(n_in))
         self.state, outs = pipeline_chain(
             xb, self.bins, self.window, self.params, self.state,
             k_blocks=k, taps=self._taps, inv_perm=self._inv_perm, **self._chain_kwargs(),
@@ -407,12 +579,18 @@ class Pipeline:
         kwargs = self._chain_kwargs()
         taps, inv_perm, bins, window, params = self._taps, self._inv_perm, self.bins, self.window, self.params
         n_in = (self.W - 1) * self.hop + self.N
-        if kwargs["sample_fmt"] == "pairs":
+        body, halo = self._block_need, self.N - self.hop
+        raw_dtype = {"pairs": jnp.float32, "s16": jnp.int16}.get(kwargs["sample_fmt"], jnp.uint8)
+        if self.mesh is not None:
+            zb = np.zeros((1, body, 2), np.float32) if kwargs["sample_fmt"] == "pairs" else np.zeros((1, 2 * body), raw_dtype)
+            xb = (
+                jax.device_put(zb, self._body_sharding_raw if kwargs["sample_fmt"] != "pairs" else self._body_sharding_pairs),
+                jax.device_put(np.zeros((1, halo, 2), np.float32), self._tail_sharding),
+            )
+        elif kwargs["sample_fmt"] == "pairs":
             xb = jnp.zeros((n_in, 2), jnp.float32)
-        elif kwargs["sample_fmt"] == "s16":
-            xb = jnp.zeros(2 * n_in, jnp.int16)
         else:
-            xb = jnp.zeros(2 * n_in, jnp.uint8)
+            xb = jnp.zeros(2 * n_in, raw_dtype)
 
         def work():
             try:
@@ -487,6 +665,8 @@ class Pipeline:
                 hop=self.hop, fft_size=self.N, n_frames=self.A, use_fft=self.cfg.channelizer == "fft",
             )
             self.state = init_demod_state(self.C, mags, iqs)
+            if self.mesh is not None:
+                self.state = self._shard_chan(self.state)
             self._pending_consume(self.A * self.hop)
             self._primed = True
 
@@ -558,6 +738,9 @@ class Pipeline:
         self.bins = jnp.asarray(dev_bins)
         self.user_bins = dev_bins[self._unperm]
         self._taps = jax.jit(make_taps)(self.bins, self.window)
+        if self.mesh is not None:
+            self.state = self._shard_chan(self.state)
+            self.bins, self._taps = self._repl(self.bins), self._repl(self._taps)
         self.blocks_processed = int(d["blocks_processed"])
         self._primed = True
 
@@ -570,6 +753,8 @@ class Pipeline:
         self.user_bins = np.asarray(bins, np.int32).copy()
         self.bins = jnp.asarray(self.user_bins[self._order])
         self._taps = jax.jit(make_taps)(self.bins, self.window)
+        if self.mesh is not None:
+            self.bins, self._taps = self._repl(self.bins), self._repl(self._taps)
 
     def retune(self, specs: list[ChannelSpec], center_freq: int | None = None) -> None:
         """Scan-mode retune: new channel frequencies and/or device center.
@@ -598,6 +783,9 @@ class Pipeline:
         self.user_bins = np.array(self.base_bins)
         self.bins = jnp.asarray(self.base_bins[self._order])
         self._taps = jax.jit(make_taps)(self.bins, self.window)
+        if self.mesh is not None:
+            self.params = self._shard_chan(self.params)
+            self.bins, self._taps = self._repl(self.bins), self._repl(self._taps)
         # drop buffered samples from the old tuning and re-prime; in-flight
         # chunks from the old tuning stay queued and drain in FIFO order
         self._pending = None

@@ -98,7 +98,57 @@ def main() -> int:
     ok &= bool(ever_active[hot].all())
     # carriers span both chan shards (C=4, 2 shards of 2)
     ok &= len({h // (C // mesh.shape["chan"]) for h in hot}) >= 2
-    print(f"[proc {pid}] checked {n_checked} audio shards over {K} blocks, active={np.flatnonzero(ever_active).tolist()}, ok={ok}", flush=True)
+
+    # ---- phase 2: the CHAINED production dispatch (pipeline_chain with
+    # mesh set — k blocks in ONE jitted lax.scan) with per-host ingest via
+    # make_global_chain_input and per-host audio drain via
+    # local_audio_shards on the [K, W, C] chained output.  Must equal the
+    # single-process per-block reference bit-exactly.
+    from rtlsdr_airband_tpu.runtime.pipeline import META_I, pipeline_chain
+
+    kc = 4
+    st_c = shard_last(mesh, state)
+    st_ref2 = state
+    checked2 = 0
+    for c0 in range(0, len(x_blocks), kc):
+        chunk = x_blocks[c0 : c0 + kc]
+        local = {}
+        tails = []
+        owns_tail = False
+        for off, blen, halo_len in ranges:
+            local[off // local_body] = np.stack([np.asarray(x)[off : off + blen] for x in chunk])
+            owns_tail |= halo_len > 0
+        for x in chunk:
+            tails.append(np.asarray(x)[body:])
+        xg = multihost.make_global_chain_input(
+            mesh, local, np.stack(tails) if owns_tail else None,
+            k_blocks=len(chunk), n_frames=W, hop=hop, halo=halo,
+        )
+        st_c, packed = pipeline_chain(
+            xg, bins_r, window_r, params_s, st_c,
+            k_blocks=len(chunk), hop=hop, fft_size=N, n_frames=W,
+            with_ctcss=True, demod_backend="xla", mesh=mesh,
+        )
+        ref_audio_blocks = []
+        ref_open_counts = []
+        for x in chunk:
+            st_ref2, ref2 = blockfn(x, bins, window, params, st_ref2)
+            ref_audio_blocks.append(np.asarray(ref2["audio"]))
+            ref_open_counts.append(np.asarray(ref2["open_count"]))
+        ref_audio = np.stack(ref_audio_blocks)  # [k, W, C]
+        for cslice, data in multihost.local_audio_shards(packed["audio"]):
+            ok &= np.array_equal(data, ref_audio[:, :, cslice])
+            checked2 += 1
+        # packed meta is replicated — every process reads the full arrays
+        open_i = META_I.index("open_count")
+        ok &= np.array_equal(np.asarray(packed["meta_i"])[:, open_i], np.stack(ref_open_counts))
+    ok &= checked2 > 0
+
+    print(
+        f"[proc {pid}] checked {n_checked} audio shards over {K} blocks "
+        f"(+{checked2} chained), active={np.flatnonzero(ever_active).tolist()}, ok={ok}",
+        flush=True,
+    )
     # make sure both processes finish before teardown
     from jax.experimental import multihost_utils
 

@@ -307,3 +307,52 @@ def test_multiple_output_threads_isolate_slow_sink(tmp_path):
     # device 0's worker queue overflowed -> output overruns counted
     assert app.devices[0].stats.output_overrun_count > 0
     assert app.devices[1].stats.output_overrun_count == 0
+
+
+def test_multiple_demod_threads_per_device_workers(tmp_path):
+    """multiple_demod_threads spawns one demod worker per device
+    (reference: rtl_airband.cpp:809-816, 1052-1090): both devices' streams
+    demodulate concurrently and produce audio identical to the
+    single-threaded loop."""
+    import threading
+
+    iq0, iq1 = tmp_path / "iq0.bin", tmp_path / "iq1.bin"
+    write_iq(str(iq0), secs=1.5, tone=700.0)
+    write_iq(str(iq1), secs=1.5, tone=1300.0)
+
+    def cfg_text(mdt):
+        devs = ", ".join(
+            f'''{{ type = "file"; filepath = "{p}"; sample_format = "u8";
+  sample_rate = 2560000; centerfreq = 120.0; speedup_factor = 0.0;
+  channels: ({{ freq = 120.4;
+    outputs: ( {{ type = "udp_stream"; dest_address = "127.0.0.1"; dest_port = {port}; }} ); }}); }}'''
+            for p, port in ((iq0, 57411), (iq1, 57412))
+        )
+        return f"fft_size = 512;\nmultiple_demod_threads = {mdt};\ndevices: ({devs});\n"
+
+    def collect(mdt):
+        app = App(loads_config(cfg_text(mdt)))
+        lock = threading.Lock()
+        blocks = {0: [], 1: []}
+        threads: set = set()
+        orig = app._handle_block
+
+        def record(rt, out):
+            with lock:
+                threads.add(threading.current_thread().name)
+                blocks[rt.stats.index].append(np.asarray(out["audio"]).copy())
+            orig(rt, out)
+
+        app._handle_block = record
+        app.run(max_seconds=90.0)
+        return app, blocks, threads
+
+    app_st, single, threads_st = collect("false")
+    assert all(not t.startswith("demod-") for t in threads_st)
+    app_mt, multi, threads_mt = collect("true")
+    # blocks really were produced by the per-device worker threads
+    assert {t for t in threads_mt if t.startswith("demod-")} == {"demod-0", "demod-1"}
+    for di in (0, 1):
+        assert len(multi[di]) == len(single[di]) and len(single[di]) >= 8, (di, len(multi[di]), len(single[di]))
+        for k, (a, b) in enumerate(zip(single[di], multi[di])):
+            np.testing.assert_array_equal(a, b, err_msg=f"device {di} block {k}")

@@ -57,3 +57,67 @@ def test_ctcss_channel_matches_reference_binary(e2e_results):
     assert c.snr_db >= 25.0, c  # measured: 33 dB; limited by one marginal fast window
     assert c.gating_agreement >= 0.985, c  # measured: 0.9886
     assert 0.05 < c.open_fraction_ref < 0.95, c
+
+
+@pytest.mark.parametrize("name", ["am_s16", "nfm_s16"])
+def test_s16_ingest_matches_reference_binary(e2e_results, name):
+    """The s16 ship + on-device decode path against the same binary capture
+    (the binary's file input is u8-only, input-file.cpp:170; the scene is
+    re-encoded so the s16 decode yields the same floats to ~1 ulp)."""
+    c = e2e_results[name]
+    assert abs(c.lag) <= 2, c
+    assert c.snr_db >= 80.0, c
+    assert c.gating_agreement >= 0.999, c
+
+
+@pytest.fixture(scope="module")
+def e2e_quadri_results(tmp_path_factory):
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "golden"))
+    try:
+        from e2e_ref import run_e2e_quadri
+    finally:
+        sys.path.pop(0)
+    return run_e2e_quadri(str(tmp_path_factory.mktemp("e2e_quadri")))
+
+
+@pytest.mark.parametrize("name", ["am", "nfm"])
+def test_quadri_demod_matches_reference_binary(e2e_quadri_results, name):
+    """-Q: fm_quadri_demod replaces polar_disc_fast
+    (reference: rtl_airband.cpp:174-176,:570).  AM is unaffected (control);
+    the NFM channel must still match to float roundoff."""
+    c = e2e_quadri_results[name]
+    assert abs(c.lag) <= 2, c
+    assert c.snr_db >= 80.0, c
+    assert c.gating_agreement >= 0.999, c
+    assert 0.05 < c.open_fraction_ref < 0.95, c
+
+
+@pytest.fixture(scope="module")
+def e2e_mixer_results(tmp_path_factory):
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "golden"))
+    try:
+        from e2e_ref import run_e2e_mixer
+    finally:
+        sys.path.pop(0)
+    return run_e2e_mixer(str(tmp_path_factory.mktemp("e2e_mixer")))
+
+
+@pytest.mark.parametrize("name", ["mix_l", "mix_r"])
+def test_mixer_stereo_matches_reference_binary(e2e_mixer_results, name):
+    """Stereo mixer golden vs the binary (mixer.cpp:81-85 balance ->
+    ampl/ampr, :133-140 weighted sum): each hard-panned side must carry its
+    input's audio with the configured ampfactor.  The reference's wall-clock
+    mixer drops batches under bursty file input (mixer.cpp:114-131), so the
+    bound is sample-exactness WITHIN its longest contiguous run, aligned
+    into our lossless stream (e2e_ref.compare_longest_run)."""
+    c = e2e_mixer_results[name]
+    # WORST matched batch; measured: L >= 130 dB, R worst 55.8 dB (one
+    # key-on boundary batch where the reference's duplicate/drop sequencing
+    # splits the squelch-open ramp), all other batches >= 130 dB
+    assert c.snr_db >= 50.0, c
+    assert c.gating_agreement == 1.0, c  # every active ref batch matched in order
+    assert c.extras["batches_active"] >= 8, c  # >= 1 s of reference audio pinned
