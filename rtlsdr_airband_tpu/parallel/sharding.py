@@ -51,6 +51,23 @@ def make_pipeline_mesh(devices=None, time_shards: int | None = None) -> Mesh:
     return Mesh(devices.reshape(time_shards, n // time_shards), ("time", "chan"))
 
 
+def pick_channel_axes(mesh: Mesh, C: int) -> tuple:
+    """Mesh axes to shard the per-channel demod state over.  Channels spread
+    over EVERY device when C divides the device count (the demod stage has
+    zero cross-channel communication, so the time-axis devices shouldn't
+    idle through it); smaller channel populations fall back to one axis, and
+    indivisible ones (e.g. a single scan channel) replicate — correctness
+    first, the channelizer stays time-sharded either way."""
+    t, c = mesh.shape["time"], mesh.shape["chan"]
+    if C % (t * c) == 0:
+        return ("time", "chan")
+    if C % c == 0:
+        return ("chan",)
+    if C % t == 0:
+        return ("time",)
+    return ()
+
+
 def _channel_axis(shape: tuple, channel_dim: int) -> int | None:
     """Rightmost dim whose size equals the channel count (IQ-pair leaves are
     [..., C, 2], so scan from the right)."""
@@ -62,7 +79,7 @@ def _channel_axis(shape: tuple, channel_dim: int) -> int | None:
 
 def channel_pspec(shape: tuple, channel_dim: int, axis: str | tuple = "chan") -> P:
     ax = _channel_axis(shape, channel_dim)
-    if ax is None:
+    if ax is None or axis == () or axis is None:
         return P()
     spec = [None] * len(shape)
     spec[ax] = axis

@@ -106,7 +106,7 @@ def _pipeline_block_impl(
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        from ..parallel.sharding import channel_pspec, channelize_time_sharded_parts
+        from ..parallel.sharding import channel_pspec, channelize_time_sharded_parts, pick_channel_axes
 
         x_body, x_tail = x
         if sample_fmt != "pairs":
@@ -118,8 +118,10 @@ def _pipeline_block_impl(
         # reshard [time-sharded frames, C] -> [frames, all-device-sharded C]:
         # GSPMD lowers this to one all-to-all over ICI.  The demod stage is
         # per-channel recurrence with zero cross-channel communication, so
-        # channels spread over BOTH axes — the time devices don't idle.
-        call_axes = ("time", "chan")
+        # channels spread over BOTH axes when C divides the device count —
+        # the time devices don't idle (small/indivisible C falls back, see
+        # pick_channel_axes).
+        call_axes = pick_channel_axes(mesh, mags.shape[-1])
         mags = jax.lax.with_sharding_constraint(mags, NamedSharding(mesh, P(None, call_axes)))
         iqs = jax.lax.with_sharding_constraint(iqs, NamedSharding(mesh, P(None, call_axes, None)))
         cdim = mags.shape[-1]
@@ -282,6 +284,8 @@ def pipeline_chain(
             mesh=mesh, pallas_interpret=pallas_interpret,
         )
         if mesh is not None:
+            from ..parallel.sharding import pick_channel_axes
+
             # meta/active are small per-channel snapshots every host's stats
             # consume -> replicate; the dense [W, C] audio/iq stay sharded
             # over channels so each host only fetches what its sinks drain.
@@ -289,12 +293,14 @@ def pipeline_chain(
             for k_ in ("active", "signal_level", "noise_level", "squelch_level", "sig_outside",
                        "open_count", "flappy_count", "ctcss_found", "ctcss_not_found"):
                 out[k_] = repl(out[k_])
+            caxes = pick_channel_axes(mesh, out["audio"].shape[1])
+            cspec = caxes if caxes else None
             out["audio"] = jax.lax.with_sharding_constraint(
-                out["audio"], NamedSharding(mesh, P(None, ("time", "chan")))
+                out["audio"], NamedSharding(mesh, P(None, cspec))
             )
             if with_iq:
                 out["iq_out"] = jax.lax.with_sharding_constraint(
-                    out["iq_out"], NamedSharding(mesh, P(None, ("time", "chan"), None))
+                    out["iq_out"], NamedSharding(mesh, P(None, cspec, None))
                 )
         packed = dict(
             audio=out["audio"],
@@ -428,22 +434,17 @@ class Pipeline:
         self.mesh = cfg.mesh
         if self.mesh is not None:
             T = self.mesh.shape["time"]
-            ndev = self.mesh.size
             if self.W % T:
                 raise ValueError(f"wave_batch {self.W} not divisible by time shards {T}")
-            backend = cfg.demod_backend
-            if backend == "auto":
-                backend = default_demod_backend()
-            if backend == "pallas" and self.C % ndev:
-                raise ValueError(f"pallas demod under shard_map needs channels ({self.C}) divisible by mesh devices ({ndev})")
             from jax.sharding import NamedSharding, PartitionSpec as P
 
-            from ..parallel.sharding import shard_last
+            from ..parallel.sharding import pick_channel_axes, shard_last
 
+            chan_axes = pick_channel_axes(self.mesh, self.C)
             self._repl = lambda tree: jax.tree.map(
                 lambda l: jax.device_put(l, NamedSharding(self.mesh, P())), tree
             )
-            self._shard_chan = lambda tree: shard_last(self.mesh, tree, axis=("time", "chan"), channel_dim=self.C)
+            self._shard_chan = lambda tree: shard_last(self.mesh, tree, axis=chan_axes, channel_dim=self.C)
             self._tail_sharding = NamedSharding(self.mesh, P())
             self._body_sharding_raw = NamedSharding(self.mesh, P(None, "time"))
             self._body_sharding_pairs = NamedSharding(self.mesh, P(None, "time", None))
