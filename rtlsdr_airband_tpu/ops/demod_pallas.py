@@ -141,7 +141,7 @@ def _fast_atan2(y, x):
     return jnp.where((x == 0.0) & (y == 0.0), F32(0.0), angle)
 
 
-def _make_kernel(W: int, WT: int, fm_quadri: bool, with_ctcss: bool, with_iq: bool):
+def _make_kernel(W: int, WT: int, fm_quadri: bool, with_ctcss: bool, with_iq: bool, unroll: int = 1):
     T = W // WT
     SHIFT_SQ = W % SQ_BUF
     SHIFT_DL = W % AGC_EXTRA
@@ -542,7 +542,10 @@ def _make_kernel(W: int, WT: int, fm_quadri: bool, with_ctcss: bool, with_iq: bo
             si[SI_PHI] = phi1
             return _carry
 
-        jax.lax.fori_loop(0, WT, step, 0)
+        # unroll > 1 amortizes Mosaic loop overhead across samples; the
+        # dependency chain itself is unchanged (latency-floor experiment,
+        # BENCH_SCALING.md round 3)
+        jax.lax.fori_loop(0, WT, step, 0, unroll=unroll)
 
         @pl.when(t == T - 1)
         def _finish():
@@ -578,7 +581,7 @@ def _tile(a, G, subl):
     return a.reshape(a.shape[:-1] + (G, subl, LANE))
 
 
-@partial(jax.jit, static_argnames=("fm_quadri", "with_ctcss", "with_iq", "interpret"))
+@partial(jax.jit, static_argnames=("fm_quadri", "with_ctcss", "with_iq", "interpret", "unroll"))
 def demod_block_pallas(
     params: ChannelParams,
     state: DemodState,
@@ -589,6 +592,7 @@ def demod_block_pallas(
     with_ctcss: bool = True,
     with_iq: bool = True,
     interpret: bool = False,
+    unroll: int = 1,
 ):
     """Drop-in replacement for :func:`demod.demod_block` (non-trace mode).
 
@@ -701,7 +705,7 @@ def demod_block_pallas(
     inr_t = _tile(_pad_c(iq_stream[..., 0], 0.0, C, Cp), G, SUBL)
     ini_t = _tile(_pad_c(iq_stream[..., 1], 0.0, C, Cp), G, SUBL)
 
-    kernel = _make_kernel(W, WT, fm_quadri, with_ctcss, with_iq)
+    kernel = _make_kernel(W, WT, fm_quadri, with_ctcss, with_iq, unroll=unroll)
 
     def dspec(lead):  # time-chunked data [W, G, 8, 128]
         return pl.BlockSpec((lead, 1, SUBL, LANE), lambda g, t: (t, g, 0, 0), memory_space=pltpu.VMEM)
