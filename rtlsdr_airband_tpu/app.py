@@ -319,6 +319,7 @@ class App:
             chunk_blocks=chunk,
             async_depth=0 if control_device else 1,
             active_slots=self.cfg.active_fetch_slots,
+            fetch_audio_i16=self.cfg.fetch_audio_i16,
             mesh=self.mesh,
             demod_backend=self.cfg.demod_backend,
         )

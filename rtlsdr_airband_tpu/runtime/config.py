@@ -178,6 +178,10 @@ class GlobalConfig:
     # transfer to this many OPEN channels per block (active-channel gather);
     # closed channels reconstruct as silence.  0 = fetch all channels dense.
     active_fetch_slots: int = 0
+    # TPU fetch knob (no reference analog): ship audio device->host as int16
+    # (~90 dB quantization SNR; audio is already clamped to +-1.0) — halves
+    # the dominant transfer.  Downstream sinks still see float32.
+    fetch_audio_i16: bool = False
     # Multi-chip mesh (reference analog: multiple_demod_threads device-data
     # parallelism, rtl_airband.cpp:1052-1090 — here ONE jitted program spans
     # a ('time', 'chan') jax.sharding.Mesh; the channelizer is overlap-save
@@ -418,6 +422,7 @@ def parse_config(doc: dict) -> GlobalConfig:
         log_scan_activity=bool(doc.get("log_scan_activity", False)),
         blocks_per_dispatch=max(1, int(doc.get("blocks_per_dispatch", 1))),
         active_fetch_slots=max(0, int(doc.get("active_fetch_slots", 0))),
+        fetch_audio_i16=bool(doc.get("fetch_audio_i16", False)),
         mesh_devices=max(0, int(doc.get("mesh_devices", 0))),
         mesh_time_shards=max(0, int(doc.get("mesh_time_shards", 0))),
         demod_backend=str(doc.get("demod_backend", "auto")),

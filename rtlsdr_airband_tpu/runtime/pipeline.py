@@ -206,7 +206,7 @@ META_F = ("signal_level", "noise_level", "squelch_level")  # f32 [C] gauges
 META_I = ("open_count", "flappy_count", "ctcss_found", "ctcss_not_found")  # i32 [C] counters
 
 
-@partial(jax.jit, static_argnames=("k_blocks", "active_slots", "with_flags") + _PIPELINE_STATICS)
+@partial(jax.jit, static_argnames=("k_blocks", "active_slots", "with_flags", "audio_i16") + _PIPELINE_STATICS)
 def pipeline_chain(
     x: jax.Array,  # flat raw [(2·)L_total] or pairs [L_total, 2] covering k_blocks overlapping blocks
     bins: jax.Array,
@@ -232,6 +232,7 @@ def pipeline_chain(
     with_flags: bool = False,
     mesh=None,
     pallas_interpret: bool = False,
+    audio_i16: bool = False,
 ):
     """Chain ``k_blocks`` streaming blocks in ONE dispatch (lax.scan threading
     the demod state), amortizing the per-call tunnel RTT — the production
@@ -341,6 +342,13 @@ def pipeline_chain(
                     packed["iq_out"] = repl(packed["iq_out"])
         elif with_iq:
             packed["iq_out"] = out["iq_out"]
+        if audio_i16:
+            # ship audio as int16 (audio is already NaN-scrubbed and clamped
+            # to +-1.0 per the reference's LAME requirement,
+            # rtl_airband.cpp:594-604): halves the device->host bytes of the
+            # dominant fetch at ~90 dB quantization SNR.  _to_host restores
+            # float by dtype, so nothing downstream changes.
+            packed["audio"] = jnp.clip(jnp.round(packed["audio"] * 32767.0), -32768.0, 32767.0).astype(jnp.int16)
         if with_afc:
             packed["spectrum_power"] = out["spectrum_power"]
         return st, packed
@@ -366,6 +374,7 @@ class PipelineConfig:
     async_depth: int = 0  # in-flight chunks before feed() yields (0 = sync)
     active_slots: int = 0  # >0: fetch only open channels' audio (S slots)
     fetch_open_flags: bool = False  # ship per-sample [W, C] flags (diagnostic)
+    fetch_audio_i16: bool = False  # ship audio as int16 (half the D2H bytes)
     # multi-chip (reference analog: multiple_demod_threads device-data
     # parallelism, rtl_airband.cpp:1052-1090 — here one jit program spans a
     # ('time', 'chan') device mesh instead):
@@ -520,6 +529,7 @@ class Pipeline:
             fullscale=float(self.cfg.fullscale),
             active_slots=max(0, int(self.cfg.active_slots)),
             with_flags=bool(self.cfg.fetch_open_flags),
+            audio_i16=bool(self.cfg.fetch_audio_i16),
             demod_backend=self.cfg.demod_backend,
             mesh=self.mesh,
             pallas_interpret=bool(self.cfg.pallas_interpret),
@@ -612,6 +622,8 @@ class Pipeline:
         the block."""
         k, outs = item
         host = jax.device_get(outs)
+        if host["audio"].dtype == np.int16:  # i16 fetch -> restore float
+            host = dict(host, audio=host["audio"].astype(np.float32) * (1.0 / 32767.0))
         for i in range(k):
             out = dict(active=host["active"][i])
             if "slot_channel" in host:

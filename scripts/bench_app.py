@@ -65,6 +65,7 @@ def main() -> int:
     # reference: rtl_airband.cpp:809-816) — per-device block time within
     # ~10% of the 1-device number demonstrates fetch/compute overlap
     n_devices = int(os.environ.get("BENCH_APP_DEVICES", "1"))
+    i16 = os.environ.get("BENCH_APP_I16", "0") == "1"
 
     from rtlsdr_airband_tpu.utils.jaxcache import enable_persistent_cache
 
@@ -112,6 +113,7 @@ def main() -> int:
     cfg_text = (
         f'fft_size = 512;\nwave_rate = {wave_rate};\n'
         f'blocks_per_dispatch = {chunk};\nactive_fetch_slots = {slots};\n'
+        + ("fetch_audio_i16 = true;\n" if i16 else "")
         + ("multiple_demod_threads = true;\n" if n_devices > 1 else "")
         + f'devices: ( {devs} );\n'
     )
@@ -164,11 +166,12 @@ def main() -> int:
             "config_parse_s": round(t_parse, 2),
             "blocks_per_dispatch": chunk,
             "active_fetch_slots": slots,
+            "fetch_audio_i16": i16,
             "hot_channels": len(hot),
             "channels_opened": opened,
             "gather_overflows": sum(rt.pipeline.gather_overflow_count for rt in app.devices),
             "realtime_channel_capacity": int(n_channels * block_realtime_ms / steady_ms),
-            "fetch_mb_per_block": round(2000 * (slots or n_channels) * 4 / 1e6, 1),
+            "fetch_mb_per_block": round(2000 * (slots or n_channels // n_devices) * (2 if i16 else 4) / 1e6, 1),
         },
     }
     print(json.dumps(result))

@@ -54,9 +54,26 @@ def test_exact_channels_match_reference_binary(e2e_results, name):
 def test_ctcss_channel_matches_reference_binary(e2e_results):
     c = e2e_results["nfm_ctcss"]
     assert abs(c.lag) <= 2, c
-    assert c.snr_db >= 25.0, c  # measured: 33 dB; limited by one marginal fast window
-    assert c.gating_agreement >= 0.985, c  # measured: 0.9886
+    assert c.snr_db >= 25.0, c  # measured: 34 dB; limited by one marginal fast window
+    assert c.gating_agreement >= 0.985, c  # measured: 0.9897
     assert 0.05 < c.open_fraction_ref < 0.95, c
+
+
+@pytest.mark.parametrize("name", ["nfm_ctcss", "nfm_ctcss_strong"])
+def test_ctcss_slow_phase_exact_vs_reference_binary(e2e_results, name):
+    """The TIGHT CTCSS pin (VERDICT r2): excluding a 0.5 s guard around
+    gating edges (the fast 20 Hz-resolution detector deciding between tones
+    2-7 Hz apart — structurally marginal in the reference's own design),
+    the slow-detector-governed region must match the binary with EXACT
+    gating and float-roundoff audio.  Triangulation: fed the binary's own
+    channelizer output, our demod reproduces its gating bit-exactly; the
+    residual unguarded disagreement is one near-tie fast window flipping on
+    channelizer f32 roundoff (present even at 2x tone amplitude —
+    nfm_ctcss_strong)."""
+    c = e2e_results[f"{name}_guarded"]
+    assert c.gating_agreement == 1.0, c  # measured: 1.0 on both
+    assert c.snr_db >= 60.0, c  # measured: 89.3 / 64.3 dB
+    assert c.n >= 20000, c  # >= 1.25 s of slow-phase audio compared
 
 
 @pytest.mark.parametrize("name", ["am_s16", "nfm_s16"])

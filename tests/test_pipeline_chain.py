@@ -65,11 +65,11 @@ def _specs():
     ]
 
 
-def _run(raw, chunk, depth, step_bytes=512_000, slots=0):
+def _run(raw, chunk, depth, step_bytes=512_000, slots=0, i16=False):
     cfg = PipelineConfig(
         sample_rate=FS, center_freq=CENTER, wave_rate=8000, sample_format="u8",
         fullscale=127.5, chunk_blocks=chunk, async_depth=depth,
-        active_slots=slots, fetch_open_flags=True,
+        active_slots=slots, fetch_open_flags=True, fetch_audio_i16=i16,
     )
     p = Pipeline(cfg, _specs())
     outs = []
@@ -198,3 +198,28 @@ def test_flush_warm_precompiles_k1_chain():
     p1, outs1 = _run(raw, chunk=1, depth=0)
     for a, b in zip(outs1, outs + outs2):
         np.testing.assert_array_equal(np.asarray(a["audio"]), b["audio"])
+
+
+def test_i16_audio_fetch_within_quantization_bound():
+    """fetch_audio_i16 ships audio as int16 (half the D2H bytes): every
+    sample within one 1/32767 quantization step of the f32 fetch; gating,
+    active flags and meta are bit-identical."""
+    raw = _scene_u8()
+    _, dense = _run(raw, chunk=4, depth=1)
+    _, q = _run(raw, chunk=4, depth=1, i16=True)
+    assert len(dense) == len(q) >= 10
+    for d, s in zip(dense, q):
+        np.testing.assert_array_equal(d["active"], s["active"])
+        np.testing.assert_array_equal(d["open_flags"], s["open_flags"])
+        assert np.abs(np.asarray(d["audio"]) - np.asarray(s["audio"])).max() <= 1.0 / 32767.0 + 1e-7
+        for k in ("signal_level", "noise_level", "open_count"):
+            np.testing.assert_array_equal(np.asarray(d[k]), s[k])
+
+
+def test_i16_audio_fetch_composes_with_active_slots():
+    raw = _scene_u8()
+    _, dense = _run(raw, chunk=2, depth=0)
+    _, q = _run(raw, chunk=2, depth=0, slots=3, i16=True)
+    for d, s in zip(dense, q):
+        np.testing.assert_array_equal(d["active"], s["active"])
+        assert np.abs(np.asarray(d["audio"]) - np.asarray(s["audio"])).max() <= 1.0 / 32767.0 + 1e-7
