@@ -25,7 +25,7 @@ from .ops.levels import level_to_dbfs
 from .outputs.dispatch import OutputSet, TagQueue
 from .outputs.filemgr import FileOutput
 from .outputs.icecast import IcecastOutput
-from .outputs.pulse import PulseOutput
+from .outputs.pulse import make_pulse_output
 from .outputs.stats import DeviceStats, FreqStats, MixerStats, StatsWriter
 from .outputs.udp import UdpStreamOutput
 from .runtime.config import DeviceConfig, GlobalConfig, OutputConfig
@@ -166,7 +166,7 @@ def _build_output_set(outputs: list[OutputConfig], wave_rate: int, mixers: dict[
         elif o.type == "udp_stream":
             oset.udps.append(UdpStreamOutput(o.dest_address, o.dest_port, stereo=stereo))
         elif o.type == "pulse":
-            p = PulseOutput(wave_rate, stereo=stereo, sink=o.sink or None, stream_name=o.stream_name or "rtlsdr-airband-tpu")
+            p = make_pulse_output(wave_rate, stereo=stereo, sink=o.sink or None, stream_name=o.stream_name or "rtlsdr-airband-tpu")
             if p.available:
                 oset.pulses.append(p)
             else:

@@ -121,8 +121,12 @@ class OutputSet:
             mixer.put_samples(idx, audio, has_signal)
 
     def check_reconnect(self) -> None:
-        """Retry dropped Icecast connections (reference: output_check_thread,
-        output.cpp:936-1005, 10 s cadence driven by the app loop)."""
+        """Retry dropped Icecast/Pulse connections (reference:
+        output_check_thread, output.cpp:936-1005, 10 s cadence driven by the
+        app loop)."""
+        for p in self.pulses:
+            if hasattr(p, "reconnect"):
+                p.reconnect()
         for ice in self.icecasts:
             if not ice.connected:
                 ice.connect()

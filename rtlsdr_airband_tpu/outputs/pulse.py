@@ -1,10 +1,13 @@
-"""PulseAudio sink (reference: src/pulse.cpp), gated on libpulse-simple.
+"""PulseAudio sinks (reference: src/pulse.cpp).
 
-The reference uses the threaded mainloop API with corked synchronized L/R
-streams; here the simple blocking API via ctypes suffices for the
-block-synchronous pipeline (one write per 125 ms batch, s16 interleaved).
-When libpulse-simple is absent the output disables itself and reports
-``available = False`` (the app layer logs and drops it).
+:func:`make_pulse_output` prefers the ASYNC threaded-mainloop implementation
+(outputs/pulse_async.py — corked synchronized L/R mono stream pair, latency
+cap, reconnect; the reference's model) when libpulse is present, and falls
+back to this module's libpulse-SIMPLE blocking sink (one interleaved s16
+write per 125 ms batch — functionally equivalent for mono, and stereo as a
+single 2-channel stream which cannot desynchronize).  With neither library
+the output disables itself and reports ``available = False`` (the app layer
+logs and drops it).
 """
 
 from __future__ import annotations
@@ -80,3 +83,19 @@ class PulseOutput:
             _LIB.pa_simple_free(self.s)
             self.s = None
             self.available = False
+
+
+def make_pulse_output(sample_rate: int, stereo: bool = False, server: str | None = None, sink: str | None = None, stream_name: str = "rtlsdr-airband-tpu", continuous: bool = False):
+    """Best-available Pulse sink: async threaded-mainloop (reference model)
+    when libpulse is present, else the simple-API fallback."""
+    try:
+        from . import pulse_async
+
+        if pulse_async.available():
+            return pulse_async.PulseAsyncOutput(
+                sample_rate, stereo=stereo, server=server, sink=sink,
+                stream_name=stream_name, continuous=continuous,
+            )
+    except Exception:
+        pass
+    return PulseOutput(sample_rate, stereo=stereo, server=server, sink=sink, stream_name=stream_name)

@@ -491,3 +491,201 @@ def test_pulse_write_failure_disables_and_close_frees(monkeypatch):
     assert fake.freed == 1
     p2.close()  # idempotent
     assert fake.freed == 1
+
+
+# ---------------------------------------------------- pulse async (threaded)
+
+
+class _FakeAsyncPulse:
+    """Stand-in for libpulse (threaded mainloop API).  State callbacks are
+    DEFERRED until pa_threaded_mainloop_unlock — like the real library,
+    which delivers them from the mainloop thread after the caller releases
+    the loop lock — so the corked-pair uncork logic is exercised for real."""
+
+    def __init__(self, latency_usec: int = 1000):
+        self.latency_usec = latency_usec
+        self.next_handle = 100
+        self.ctx_cb = None
+        self.stream_cbs: dict[int, object] = {}
+        self.stream_states: dict[int, int] = {}
+        self.ctx_state = 0
+        self.corks: list[tuple[int, int]] = []
+        self.connects: list[tuple[int, object, int, object]] = []  # (stream, sink, flags, sync)
+        self.writes: list[tuple[int, bytes]] = []
+        self.disconnected: list[int] = []
+        self.ctx_disconnected = 0
+        self.pending: list = []
+
+    def _h(self):
+        self.next_handle += 1
+        return self.next_handle
+
+    # mainloop
+    def pa_threaded_mainloop_new(self):
+        return 1
+
+    def pa_threaded_mainloop_start(self, ml):
+        return 0
+
+    def pa_threaded_mainloop_get_api(self, ml):
+        return 2
+
+    def pa_threaded_mainloop_lock(self, ml):
+        return 0
+
+    def pa_threaded_mainloop_unlock(self, ml):
+        while self.pending:
+            cb, arg = self.pending.pop(0)
+            cb(arg, None)
+        return 0
+
+    # context
+    def pa_context_new(self, api, name):
+        return self._h()
+
+    def pa_context_set_state_callback(self, ctx, cb, ud):
+        self.ctx_cb = cb
+
+    def pa_context_connect(self, ctx, server, flags, api):
+        self.ctx_state = 4  # READY
+        self.pending.append((self.ctx_cb, ctx))
+        return 0
+
+    def pa_context_get_state(self, ctx):
+        return self.ctx_state
+
+    def pa_context_disconnect(self, ctx):
+        self.ctx_disconnected += 1
+
+    def pa_context_unref(self, ctx):
+        return 0
+
+    # streams
+    def pa_stream_new(self, ctx, name, ss, cmap):
+        return self._h()
+
+    def pa_stream_set_state_callback(self, s, cb, ud):
+        sv = s.value if hasattr(s, "value") else s
+        self.stream_cbs[sv] = cb
+
+    def pa_stream_set_underflow_callback(self, s, cb, ud):
+        pass
+
+    def pa_stream_set_overflow_callback(self, s, cb, ud):
+        pass
+
+    def pa_stream_connect_playback(self, s, sink, attr, flags, vol, sync):
+        sv = s.value if hasattr(s, "value") else s
+        syncv = sync.value if hasattr(sync, "value") and sync else (sync if sync else None)
+        self.connects.append((sv, sink, flags, syncv))
+        self.stream_states[sv] = 2  # READY (delivered via deferred cb)
+        self.pending.append((self.stream_cbs[sv], sv))
+        return 0
+
+    def pa_stream_get_state(self, s):
+        sv = s.value if hasattr(s, "value") else s
+        return self.stream_states.get(sv, 0)
+
+    def pa_stream_cork(self, s, b, cb, ud):
+        sv = s.value if hasattr(s, "value") else s
+        self.corks.append((sv, b))
+        return 0
+
+    def pa_stream_get_latency(self, s, usec_p, neg_p):
+        import ctypes
+
+        ctypes.cast(usec_p, ctypes.POINTER(ctypes.c_uint64))[0] = self.latency_usec
+        return 0
+
+    def pa_stream_write(self, s, data, n, free_cb, off, seek):
+        sv = s.value if hasattr(s, "value") else s
+        self.writes.append((sv, bytes(data)))
+        return 0
+
+    def pa_stream_disconnect(self, s):
+        sv = s.value if hasattr(s, "value") else s
+        self.disconnected.append(sv)
+        return 0
+
+    def pa_stream_unref(self, s):
+        return 0
+
+
+def _make_async_pulse(monkeypatch, fake):
+    import ctypes as _ct
+
+    from rtlsdr_airband_tpu.outputs import pulse_async as pmod
+
+    class _Fn:
+        def __init__(self, f):
+            self.f = f
+            self.restype = None
+
+        def __call__(self, *a):
+            return self.f(*a)
+
+    lib = type("L", (), {})()
+    for name in dir(fake):
+        if name.startswith("pa_"):
+            setattr(lib, name, _Fn(getattr(fake, name)))
+    monkeypatch.setattr(pmod, "_LIB", lib)
+    monkeypatch.setattr(pmod, "_mainloop", None)
+    return pmod
+
+
+def test_pulse_async_stereo_corked_sync_pair(monkeypatch):
+    """reference: pulse.cpp:94-146 — both streams born corked
+    (PA_STREAM_START_CORKED), right connected with left as sync master,
+    uncork fires once (on the left) only after BOTH are ready; writes route
+    f32 mono payloads to each stream."""
+    import numpy as np
+
+    fake = _FakeAsyncPulse()
+    pmod = _make_async_pulse(monkeypatch, fake)
+    p = pmod.PulseAsyncOutput(16000, stereo=True)
+    assert p.available and p.left is not None and p.right is not None
+    assert len(fake.connects) == 2
+    (l_s, _sink_l, flags_l, sync_l), (r_s, _sink_r, flags_r, sync_r) = fake.connects
+    assert flags_l & 0x0001 and flags_r & 0x0001  # START_CORKED
+    assert sync_l is None and sync_r == l_s  # right synced to left
+    # uncork targets only the left/master and only after both streams were
+    # ready (each ready callback re-checks the pair; a repeat uncork is a
+    # no-op, same as the reference's stream_state_cb)
+    assert fake.corks and set(fake.corks) == {(l_s, 0)}
+
+    left = np.array([0.25, -0.25], np.float32)
+    right = np.array([1.0, -2.0], np.float32)  # clips to -1
+    p.write(left, right)
+    assert [s for s, _ in fake.writes] == [l_s, r_s]
+    np.testing.assert_array_equal(np.frombuffer(fake.writes[0][1], np.float32), left)
+    np.testing.assert_array_equal(np.frombuffer(fake.writes[1][1], np.float32), [1.0, -1.0])
+
+
+def test_pulse_async_latency_cap_disconnects_and_reconnects(monkeypatch):
+    """reference: pulse.cpp:213-223 — master latency above the 10 s cap
+    tears the connection down; the 10 s output check rebuilds it."""
+    import numpy as np
+
+    fake = _FakeAsyncPulse(latency_usec=11_000_000)
+    pmod = _make_async_pulse(monkeypatch, fake)
+    p = pmod.PulseAsyncOutput(16000, stereo=False)
+    a = np.zeros(4, np.float32)
+    p.write(a)
+    assert fake.writes == []  # latency check fired before any write
+    assert len(fake.disconnected) == 1 and fake.ctx_disconnected == 1
+    assert p.context is None
+    fake.latency_usec = 1000
+    p.reconnect()
+    assert p.context is not None and p.left is not None
+    p.write(a)
+    assert len(fake.writes) == 1
+
+
+def test_pulse_async_mono_positions(monkeypatch):
+    fake = _FakeAsyncPulse()
+    pmod = _make_async_pulse(monkeypatch, fake)
+    p = pmod.PulseAsyncOutput(8000, stereo=False)
+    assert len(fake.connects) == 1
+    assert fake.corks and fake.corks[0][1] == 0
+    p.close()
+    assert not p.available and fake.ctx_disconnected == 1
