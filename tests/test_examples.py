@@ -1,5 +1,5 @@
-"""Every shipped example config must parse into a valid GlobalConfig
-(the reference ships analogous examples under config/)."""
+"""Every shipped example config must parse (the reference ships its example
+configs in-tree too; config surface documented in docs/CONFIG.md)."""
 
 import glob
 import os
@@ -12,15 +12,15 @@ EXAMPLES = sorted(glob.glob(os.path.join(os.path.dirname(__file__), "..", "examp
 
 
 @pytest.mark.parametrize("path", EXAMPLES, ids=[os.path.basename(p) for p in EXAMPLES])
-def test_example_parses(path):
+def test_example_config_parses(path):
     cfg = load_config(path)
     assert cfg.devices
     for d in cfg.devices:
         assert d.channels
-        for ch in d.channels:
-            assert ch.freqs
-            assert ch.outputs
 
 
-def test_examples_exist():
-    assert len(EXAMPLES) >= 4
+def test_multichip_example_declares_mesh():
+    cfg = load_config(os.path.join(os.path.dirname(__file__), "..", "examples", "multichip.conf"))
+    assert cfg.mesh_devices == 8
+    assert cfg.active_fetch_slots > 0
+    assert cfg.fetch_audio_i16
