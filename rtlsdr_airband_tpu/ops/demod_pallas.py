@@ -542,10 +542,19 @@ def _make_kernel(W: int, WT: int, fm_quadri: bool, with_ctcss: bool, with_iq: bo
             si[SI_PHI] = phi1
             return _carry
 
-        # unroll > 1 amortizes Mosaic loop overhead across samples; the
-        # dependency chain itself is unchanged (latency-floor experiment,
-        # BENCH_SCALING.md round 3)
-        jax.lax.fori_loop(0, WT, step, 0, unroll=unroll)
+        # unroll > 1 processes several samples per loop trip (manual unroll —
+        # Mosaic's fori_loop only supports full-or-no unrolling), amortizing
+        # loop overhead; the sample-to-sample dependency chain itself is
+        # unchanged (latency-floor experiment, BENCH_SCALING.md round 3)
+        if unroll > 1 and WT % unroll == 0:
+            def step_u(k, c):
+                for u in range(unroll):
+                    c = step(k * unroll + u, c)
+                return c
+
+            jax.lax.fori_loop(0, WT // unroll, step_u, 0)
+        else:
+            jax.lax.fori_loop(0, WT, step, 0)
 
         @pl.when(t == T - 1)
         def _finish():

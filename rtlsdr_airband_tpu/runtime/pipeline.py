@@ -573,6 +573,45 @@ class Pipeline:
         if k > 1:
             self._warm_flush_path()
 
+    def warm(self, k_blocks: int | None = None) -> None:
+        """Synchronously compile the k-block chain program (and prime-step
+        program) on zeroed inputs before streaming starts.  jit functions are
+        pure, so nothing observable changes; pipelines with identical
+        statics share the compiled program within the process.  Use before
+        real-time ingest on backends with slow compiles (the axon tunnel
+        compiles the production chain in minutes and cannot cache across
+        processes — CLAUDE.md)."""
+        k = k_blocks if k_blocks is not None else max(1, int(self.cfg.chunk_blocks))
+        if self._ship is None:
+            self._ship = self.cfg.sample_format if self.cfg.sample_format in ("u8", "s8", "s16") else "pairs"
+        kwargs = self._chain_kwargs()
+        mags = jnp.zeros((self.A, self.C), jnp.float32)
+        state = init_demod_state(self.C, mags, jnp.zeros((self.A, self.C, 2), jnp.float32))
+        if self.mesh is not None:
+            state = self._shard_chan(state)
+            body, halo = self._block_need, self.N - self.hop
+            if kwargs["sample_fmt"] == "pairs":
+                zb = np.zeros((k, body, 2), np.float32)
+            else:
+                zb = np.zeros((k, 2 * body), np.int16 if kwargs["sample_fmt"] == "s16" else np.uint8)
+            xb = (
+                jax.device_put(zb, self._body_sharding_raw if kwargs["sample_fmt"] != "pairs" else self._body_sharding_pairs),
+                jax.device_put(np.zeros((k, halo, 2), np.float32), self._tail_sharding),
+            )
+        else:
+            n_in = (k * self.W - 1) * self.hop + self.N
+            if kwargs["sample_fmt"] == "pairs":
+                xb = jnp.zeros((n_in, 2), jnp.float32)
+            else:
+                xb = jnp.zeros(2 * n_in, jnp.int16 if kwargs["sample_fmt"] == "s16" else jnp.uint8)
+        st, outs = pipeline_chain(xb, self.bins, self.window, self.params, state, k_blocks=k, taps=self._taps, inv_perm=self._inv_perm, **kwargs)
+        jax.block_until_ready(st)
+        # the prime channelizer program too (first feed() call)
+        prime = jnp.zeros((self._prime_len, 2), jnp.float32)
+        jax.block_until_ready(
+            channelize_block(prime, self.bins, self.window, hop=self.hop, fft_size=self.N, n_frames=self.A, use_fft=self.cfg.channelizer == "fft")
+        )
+
     def _warm_flush_path(self) -> None:
         """Pre-compile the k=1 chain in a daemon thread.  flush() (stream
         end, device failure, retune drain) dispatches single blocks; without

@@ -126,6 +126,17 @@ def main() -> int:
     t_parse = time.perf_counter() - t0
 
     app = App(cfg)
+    # compile every device's chain program BEFORE streaming starts — the
+    # axon tunnel compiles the production chain in minutes and cannot cache
+    # across processes, and an unpaced file input would drain (and overflow
+    # the ring) while the first dispatch compiles.  Identical statics share
+    # one compiled program across devices.
+    t0 = time.perf_counter()
+    for rt in app.devices:
+        rt.pipeline.warm(1 if (rt.scan is not None or any(c.afc for c in rt.channels)) else chunk)
+    t_compile = time.perf_counter() - t0
+    print(f"[bench_app] warm/compile {t_compile:.1f}s", file=sys.stderr, flush=True)
+
     stamps: list[float] = []
     orig = app._handle_block
 
@@ -164,6 +175,7 @@ def main() -> int:
             "blocks_expected": expected,
             "wall_s": round(wall, 2),
             "config_parse_s": round(t_parse, 2),
+            "compile_s": round(t_compile, 1),
             "blocks_per_dispatch": chunk,
             "active_fetch_slots": slots,
             "fetch_audio_i16": i16,

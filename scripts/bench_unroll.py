@@ -41,7 +41,8 @@ def main() -> int:
     mags = jnp.asarray(rng.random((K, W, C), np.float32) * 0.1)
     iqs = jnp.asarray(rng.random((K, W, C, 2), np.float32) * 0.1)
 
-    for unroll in (1, 2, 4):
+    unrolls = tuple(int(u) for u in os.environ.get("BENCH_UNROLLS", "1,2,4").split(","))
+    for unroll in unrolls:
         @jax.jit
         def chain(mags, iqs, state):
             def body(st, xb):

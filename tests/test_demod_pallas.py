@@ -117,3 +117,30 @@ def test_pallas_nondivisible_channel_count():
     assert np.abs(np.asarray(a_x) - np.asarray(a_p)).max() < 1e-4
     assert np.array_equal(np.asarray(o_x), np.asarray(o_p))
     _tree_assert_close(st_x, st_p, 1e-4)
+
+
+def test_unroll_parity_bit_identical():
+    """Manual sample-loop unrolling (latency-floor experiment) is pure loop
+    restructuring: unroll in {1, 2, 4} must produce bit-identical audio,
+    flags and state."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from rtlsdr_airband_tpu.models.flagship import build_flagship
+    from rtlsdr_airband_tpu.ops.demod_pallas import demod_block_pallas
+
+    bk, (x, bins, window, params, state) = build_flagship(n_channels=16, wave_batch=128)
+    rng = np.random.default_rng(0)
+    W, C = 128, 16
+    mags = jnp.asarray(rng.random((W, C), np.float32) * 0.1)
+    iqs = jnp.asarray(rng.random((W, C, 2), np.float32) * 0.1)
+    outs = {}
+    for u in (1, 2, 4):
+        st, audio, _iq, fl = demod_block_pallas(
+            params, state, mags, iqs,
+            fm_quadri=bk["fm_quadri"], with_ctcss=bk["with_ctcss"], interpret=True, unroll=u,
+        )
+        outs[u] = (np.asarray(audio), np.asarray(fl), np.asarray(st.cur), np.asarray(st.noise_floor), np.asarray(st.fast.count))
+    for u in (2, 4):
+        for a, b in zip(outs[1], outs[u]):
+            np.testing.assert_array_equal(a, b, err_msg=f"unroll {u}")

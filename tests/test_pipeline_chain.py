@@ -223,3 +223,25 @@ def test_i16_audio_fetch_composes_with_active_slots():
     for d, s in zip(dense, q):
         np.testing.assert_array_equal(d["active"], s["active"])
         assert np.abs(np.asarray(d["audio"]) - np.asarray(s["audio"])).max() <= 1.0 / 32767.0 + 1e-7
+
+
+def test_warm_precompile_does_not_change_results():
+    """Pipeline.warm() compiles the chain on zeroed inputs before streaming
+    (slow-compile backends); it must be observationally pure."""
+    raw = _scene_u8(secs=1.0)
+    _, base = _run(raw, chunk=2, depth=1)
+
+    cfg = PipelineConfig(
+        sample_rate=FS, center_freq=CENTER, wave_rate=8000, sample_format="u8",
+        fullscale=127.5, chunk_blocks=2, async_depth=1, fetch_open_flags=True,
+    )
+    p = Pipeline(cfg, _specs())
+    p.warm()
+    outs = []
+    for i in range(0, len(raw), 512_000):
+        outs.extend(p.feed(raw[i : i + 512_000]))
+    outs.extend(p.flush())
+    assert len(outs) == len(base)
+    for a, b in zip(base, outs):
+        np.testing.assert_array_equal(np.asarray(a["audio"]), np.asarray(b["audio"]))
+        np.testing.assert_array_equal(np.asarray(a["active"]), np.asarray(b["active"]))
