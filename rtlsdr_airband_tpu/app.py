@@ -448,6 +448,7 @@ class App:
         # callback's overflow detection feeding buffer_overflow_count,
         # input-helpers.cpp:56-61 / output.cpp:787-800)
         rt.stats.buffer_overflow_count = int(rt.input.ring.overflow_count)
+        rt.stats.gather_overflow_count = int(rt.pipeline.gather_overflow_count)
         raw = rt.input.read_bytes(rt.bytes_per_block)
         if raw is None:
             return False

@@ -39,6 +39,10 @@ class DeviceStats:
     index: int
     buffer_overflow_count: int = 0
     output_overrun_count: int = 0
+    # TPU-build extension: active-channel gather slot overflows (audio of an
+    # open channel dropped for a block because active_fetch_slots was
+    # exceeded — runtime/pipeline.py Pipeline.gather_overflow_count)
+    gather_overflow_count: int = 0
     freqs: list[FreqStats] = field(default_factory=list)
 
 
@@ -117,6 +121,10 @@ class StatsWriter:
         family(
             "input_overrun_count", "counter", "Number of times mixer input has overrun.",
             [f'input_overrun_count{{mixer="{m.name}",input="{i}"}}\t{c}\n' for m in mixers for i, c in enumerate(m.input_overrun_counts)],
+        )
+        family(
+            "gather_overflow_count", "counter", "Open-channel audio blocks dropped because active_fetch_slots was exceeded.",
+            [f'gather_overflow_count{{device="{d.index}"}}\t{d.gather_overflow_count}\n' for d in devices],
         )
 
         tmp = self.filepath + ".tmp"
