@@ -345,6 +345,19 @@ class App:
                 kwargs["serial"] = d.serial
             elif d.type in ("rtlsdr", "mirisdr"):
                 kwargs["index"] = d.index
+            if d.type == "rtlsdr" and d.buffers > 0:
+                # reference: buffers * default buflen (input-rtlsdr.cpp:215-221)
+                from .inputs.rtlsdr import DEFAULT_BUFLEN
+
+                kwargs["buf_size"] = d.buffers * DEFAULT_BUFLEN
+            if d.type == "soapysdr":
+                kwargs["device_string"] = d.device_string
+                kwargs["channel"] = d.channel
+                if d.antenna:
+                    kwargs["antenna"] = d.antenna
+                # hardware AGC is implied by omitting gain
+                # (input-soapysdr.cpp:157-172)
+                kwargs["agc"] = d.gain is None
             inp = input_new(d.type, **kwargs)
 
         rt = DeviceRuntime(cfg=d, input=inp, pipeline=pipeline, channels=chrts, scan=scan, stats=dev_stats)

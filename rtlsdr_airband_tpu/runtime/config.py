@@ -137,11 +137,18 @@ class DeviceConfig:
     sample_rate: int = DEFAULT_SAMPLE_RATE
     centerfreq: int = 0
     channels: list[ChannelConfig] = field(default_factory=list)
-    # hardware options (parsed for parity; unused by the ingest frontend)
+    # hardware options (passed through to the matching ctypes driver)
     gain: float | None = None
     correction: float = 0.0
     index: int = 0
     serial: str | None = None
+    buffers: int = 0  # rtlsdr USB buffer count (input-rtlsdr.cpp:215-221)
+    device_string: str = ""  # soapysdr device args (input-soapysdr.cpp:151-155)
+    antenna: str = ""  # soapysdr antenna selection (input-soapysdr.cpp:187)
+    channel: int = 0  # soapysdr RX channel index (input-soapysdr.cpp:184)
+    # note: soapysdr hardware AGC is implied by OMITTING gain
+    # (input-soapysdr.cpp:157-172); gain may also be a per-element
+    # "name1=v1,name2=v2" string for soapysdr
     # file input (reference: input-file.cpp:40-62)
     filepath: str = ""
     speedup_factor: float = 4.0
@@ -333,6 +340,10 @@ def _parse_device(d: dict, idx: int, fft_size: int, default_tau: float | None) -
         correction=float(d.get("correction", 0.0)),
         index=int(d.get("index", 0)),
         serial=d.get("serial"),
+        buffers=int(d.get("buffers", 0)),
+        device_string=str(d.get("device_string", "")),
+        antenna=str(d.get("antenna", "")),
+        channel=int(d.get("channel", 0)),
         filepath=d.get("filepath", ""),
         speedup_factor=float(d.get("speedup_factor", 4.0)),
         sample_format=d.get("sample_format", "u8"),
@@ -343,6 +354,9 @@ def _parse_device(d: dict, idx: int, fft_size: int, default_tau: float | None) -
         raise ConfigError(f"{where}: invalid mode {dev.mode!r}")
     if dev.type == "file" and not dev.filepath:
         raise ConfigError(f"{where}: file input needs 'filepath'")
+    if dev.type == "soapysdr" and not dev.device_string:
+        # reference: mandatory parameter (input-soapysdr.cpp:151-155)
+        raise ConfigError(f"{where}: soapysdr input needs 'device_string'")
 
     chans = d.get("channels")
     if not isinstance(chans, list) or not chans:

@@ -102,7 +102,9 @@ def _pipeline_block_impl(
     over channels across EVERY device (both mesh axes) via one GSPMD
     all-to-all reshard.  demod_backend='pallas' launches the Mosaic kernel
     per channel shard under an explicit shard_map (pallas_interpret=True for
-    CPU-mesh testing)."""
+    CPU-mesh testing).  The channelizer is always the matmul kernel here
+    (``use_fft`` is ignored: per-shard frame counts make the matched-filter
+    matmul the right shape, and bins are sparse by construction)."""
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
 

@@ -136,3 +136,41 @@ class TestRegistry:
         if not mirisdr_available():
             with pytest.raises(RuntimeError, match="libmirisdr"):
                 MiriSdrInput().init()
+
+
+class TestDriverConfigPassthrough:
+    """Device-level driver options reach the drivers from a config FILE
+    (reference: input-soapysdr.cpp:151-199, input-rtlsdr.cpp:215-221)."""
+
+    def test_soapysdr_options_parse(self):
+        from rtlsdr_airband_tpu.runtime.config import ConfigError, loads_config
+
+        cfg = loads_config(
+            'devices: ( { type = "soapysdr"; device_string = "driver=rtlsdr,serial=777"; '
+            'antenna = "RX2"; channel = 1; gain = "LNA=30,VGA=20"; centerfreq = 120.0; '
+            'sample_rate = 2560000; channels: ( { freq = 120.4; '
+            'outputs: ( { type = "udp_stream"; dest_address = "127.0.0.1"; dest_port = 4000; } ); } ); } );'
+        )
+        d = cfg.devices[0]
+        assert d.device_string == "driver=rtlsdr,serial=777"
+        assert d.antenna == "RX2" and d.channel == 1
+        assert d.gain == "LNA=30,VGA=20"  # per-element string passes through
+
+        import pytest
+
+        with pytest.raises(ConfigError, match="device_string"):
+            loads_config(
+                'devices: ( { type = "soapysdr"; centerfreq = 120.0; sample_rate = 2560000; '
+                'channels: ( { freq = 120.4; outputs: ( { type = "udp_stream"; '
+                'dest_address = "127.0.0.1"; dest_port = 4000; } ); } ); } );'
+            )
+
+    def test_rtlsdr_buffers_option(self):
+        from rtlsdr_airband_tpu.runtime.config import loads_config
+
+        cfg = loads_config(
+            'devices: ( { type = "rtlsdr"; index = 0; buffers = 20; centerfreq = 120.0; '
+            'sample_rate = 2560000; channels: ( { freq = 120.4; '
+            'outputs: ( { type = "udp_stream"; dest_address = "127.0.0.1"; dest_port = 4001; } ); } ); } );'
+        )
+        assert cfg.devices[0].buffers == 20
