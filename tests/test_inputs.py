@@ -174,3 +174,38 @@ class TestDriverConfigPassthrough:
             'outputs: ( { type = "udp_stream"; dest_address = "127.0.0.1"; dest_port = 4001; } ); } ); } );'
         )
         assert cfg.devices[0].buffers == 20
+
+    def test_app_passes_driver_kwargs(self, monkeypatch, tmp_path):
+        """App._build_device forwards the parsed driver options to
+        input_new (the reference plumbs them via parse_config vtable)."""
+        from rtlsdr_airband_tpu import app as app_mod
+        from rtlsdr_airband_tpu.inputs.filesrc import FileInput
+        from rtlsdr_airband_tpu.runtime.config import loads_config
+
+        calls = []
+        iq = tmp_path / "dummy.cu8"
+        iq.write_bytes(b"\x80" * 4096)
+
+        def fake_input_new(typ, **kw):
+            calls.append((typ, kw))
+            return FileInput(filepath=str(iq), sample_rate=kw["sample_rate"], centerfreq=kw["centerfreq"])
+
+        monkeypatch.setattr(app_mod, "input_new", fake_input_new)
+        cfg = loads_config(
+            'devices: ( { type = "soapysdr"; device_string = "driver=sdrplay"; antenna = "A"; '
+            'channel = 2; centerfreq = 120.0; sample_rate = 2560000; channels: ( { freq = 120.4; '
+            'outputs: ( { type = "udp_stream"; dest_address = "127.0.0.1"; dest_port = 4002; } ); } ); }, '
+            '{ type = "rtlsdr"; index = 1; buffers = 20; gain = 28.0; centerfreq = 120.0; '
+            'sample_rate = 2560000; channels: ( { freq = 120.4; '
+            'outputs: ( { type = "udp_stream"; dest_address = "127.0.0.1"; dest_port = 4003; } ); } ); } );'
+        )
+        app_mod.App(cfg)
+        (t0, kw0), (t1, kw1) = calls
+        assert t0 == "soapysdr"
+        assert kw0["device_string"] == "driver=sdrplay" and kw0["antenna"] == "A" and kw0["channel"] == 2
+        assert kw0["agc"] is True  # gain omitted -> hardware AGC (reference rule)
+        assert t1 == "rtlsdr" and kw1["index"] == 1
+        from rtlsdr_airband_tpu.inputs.rtlsdr import DEFAULT_BUFLEN
+
+        assert kw1["buf_size"] == 20 * DEFAULT_BUFLEN
+        assert kw1["gain"] == 28.0
