@@ -41,14 +41,27 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def build_scene(path: str, freqs_hz: list[int], hot: list[int], center: int, fs: int, total: int, wave_rate: int) -> None:
-    from rtlsdr_airband_tpu.utils.siggen import am_carrier_iq, complex_noise
+    from rtlsdr_airband_tpu.utils.siggen import complex_noise
 
-    seconds = total / fs
-    z = complex_noise(total, 0.004, seed=11)
-    t_a = np.arange(int(wave_rate * seconds) + 2, dtype=np.float64) / wave_rate
+    # Scene design notes (hard-won -- each clause prevents a failure mode
+    # that spuriously opened thousands of channels' squelch):
+    #  - noise well above 1 u8 LSB so the floor isn't quantization-limited;
+    #  - carrier amplitudes scaled so the SUM stays inside the u8 range
+    #    (clipping splatter is broadband);
+    #  - the modulating tone synthesized at the FULL IQ rate -- zero-order-
+    #    hold upsampling of audio-rate tones leaves 16 kHz-spaced spectral
+    #    replica combs across the whole band;
+    #  - carriers key ON after a quiet lead-in: with an always-on carrier
+    #    the min-tracking noise floor converges onto the carrier itself and
+    #    squelch never opens (reference semantics, squelch.cpp:477-490).
+    z = complex_noise(total, 0.02, seed=11)
+    t_full = np.arange(total, dtype=np.float64) / fs
+    ampl = min(0.4, 0.5 / np.sqrt(max(1, len(hot))))
+    gate = (np.arange(total) >= int(total * 0.25)).astype(np.float32)
     for k, ci in enumerate(hot):
-        audio = (0.7 * np.sin(2 * np.pi * (500.0 + 130.0 * k) * t_a)).astype(np.float32)
-        z += am_carrier_iq(fs, freqs_hz[ci] - center, total, audio=audio, carrier_ampl=0.4, audio_rate=wave_rate)
+        env = 1.0 + 0.5 * 0.7 * np.sin(2 * np.pi * (500.0 + 130.0 * k) * t_full)
+        ph = 2 * np.pi * (freqs_hz[ci] - center) * t_full
+        z += (ampl * env * np.exp(1j * ph)).astype(np.complex64) * gate
     iq = np.empty(total * 2, np.float32)
     iq[0::2], iq[1::2] = z.real, z.imag
     u8 = np.clip(np.round(iq * 127.5 + 127.5), 0, 255).astype(np.uint8)
@@ -95,12 +108,22 @@ def main() -> int:
     iq_path = os.path.join(tmp, "scene.cu8")
     build_scene(iq_path, freqs, hot, center, fs, total, wave_rate)
 
+    # Manual squelch threshold midway (log scale) between the noise bin level
+    # (sigma*sqrt(sum w^2) ~ 0.15) and the carrier bin level (~ampl*sum(w)/2):
+    # deterministic open set regardless of noise-floor adaptation dynamics.
+    # (At 8192 channels the population shares 512 bins ~16-deep, so each
+    # carrier opens its whole bin group — the open fraction stays realistic.)
+    from rtlsdr_airband_tpu.ops.levels import level_to_dbfs
+
+    thr_dbfs = round(float(level_to_dbfs(1.0, 512)), 1)
+
     # one CTCSS channel so the device graph matches bench.py (with_ctcss=True)
     chans = []
     for i, f in enumerate(freqs):
         extra = " ctcss = 100.0;" if i == min(h for h in hot) else ""
         chans.append(
-            f'{{ freq = {f}; modulation = "am";{extra} outputs: ( {{ type = "udp_stream"; '
+            f'{{ freq = {f}; modulation = "am";{extra} squelch_threshold = {thr_dbfs}; '
+            f'outputs: ( {{ type = "udp_stream"; '
             f'dest_address = "127.0.0.1"; dest_port = {20000 + (i % 8000)}; }} ); }}'
         )
     per_dev = len(chans) // n_devices
