@@ -65,11 +65,11 @@ def _specs():
     return [ChannelSpec(frequency=f, **kinds.get(i, dict(modulation="am"))) for i, f in enumerate(freqs)]
 
 
-def _run(raw, mesh, chunk, depth=0, slots=0, backend="xla", interpret=False):
+def _run(raw, mesh, chunk, depth=0, slots=0, backend="xla", interpret=False, i16=False):
     cfg = PipelineConfig(
         sample_rate=FS, center_freq=CENTER, wave_rate=WR, sample_format="u8",
         fullscale=127.5, chunk_blocks=chunk, async_depth=depth, active_slots=slots,
-        mesh=mesh, demod_backend=backend, pallas_interpret=interpret,
+        mesh=mesh, demod_backend=backend, pallas_interpret=interpret, fetch_audio_i16=i16,
     )
     p = Pipeline(cfg, _specs())
     outs = []
@@ -196,3 +196,18 @@ def test_mesh_app_matches_single_device_app(scene_u8, tmp_path):
         np.testing.assert_array_equal(a_act, b_act, err_msg=f"block {k}")
         ever |= a_act
     assert ever[[0, 3, 6]].all(), ever
+
+
+def test_mesh_production_fetch_config(scene_u8, ref_blocks, mesh):
+    """The full recommended production fetch config on the mesh (what
+    examples/multichip.conf prescribes): active gather + int16 audio fetch
+    together.  Audio within one i16 quantization step of the unsharded
+    dense-f32 reference; gating/meta bit-identical."""
+    p, got = _run(scene_u8, mesh, chunk=4, depth=1, slots=8, i16=True)
+    assert len(ref_blocks) == len(got)
+    for k, (a, b) in enumerate(zip(ref_blocks, got)):
+        np.testing.assert_array_equal(np.asarray(a["active"]), np.asarray(b["active"]), err_msg=f"block {k}")
+        assert np.abs(np.asarray(a["audio"]) - np.asarray(b["audio"])).max() <= 1.0 / 32767.0 + 1e-7, f"block {k}"
+        for key in ("open_count", "ctcss_found"):
+            np.testing.assert_array_equal(np.asarray(a[key]), np.asarray(b[key]), err_msg=f"block {k} {key}")
+    assert p.gather_overflow_count == 0
