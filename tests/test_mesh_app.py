@@ -211,3 +211,90 @@ def test_mesh_production_fetch_config(scene_u8, ref_blocks, mesh):
         for key in ("open_count", "ctcss_found"):
             np.testing.assert_array_equal(np.asarray(a[key]), np.asarray(b[key]), err_msg=f"block {k} {key}")
     assert p.gather_overflow_count == 0
+
+
+def test_mesh_scan_mode_retunes(tmp_path):
+    """Scan-mode device ON the mesh: the hop calls Pipeline.retune(), which
+    must re-shard the rebuilt params/taps/state (the mesh branch of
+    retune()).  Must behave identically to the single-device scan app under
+    the same (fake) scan clock."""
+    import time as _time
+
+    from rtlsdr_airband_tpu.app import App
+    from rtlsdr_airband_tpu.runtime.config import loads_config
+
+    # own 3 s scene.  A FILE input cannot physically retune
+    # (set_centerfreq is a no-op on a recording), so after the hop the
+    # pipeline interprets the SAME baseband samples against the new assumed
+    # center — the scanned channel always sits at baseband -20 bin-widths
+    # (the DC-dodge offset).  The scene is therefore: quiet for the first
+    # ~10 scan checks (one per 125 ms block) so the device hops, then a
+    # carrier keyed on AT THAT baseband offset, which the post-hop channel
+    # picks up and holds.
+    freqs = _freqs(8)
+    n = int(FS * 3.0)
+    bin_w = FS / 512.0
+    z = complex_noise(n, 0.01, seed=9)
+    gate = (np.arange(n) >= int(n * (2.0 / 3.0))).astype(np.float32)
+    z += am_carrier_iq(FS, -20.0 * bin_w, n, carrier_ampl=0.4) * gate
+    u8 = np.empty(2 * n, np.uint8)
+    u8[0::2] = np.clip(np.round(z.real * 127.5 + 127.5), 0, 255).astype(np.uint8)
+    u8[1::2] = np.clip(np.round(z.imag * 127.5 + 127.5), 0, 255).astype(np.uint8)
+    iq = tmp_path / "scan_scene.cu8"
+    iq.write_bytes(u8.tobytes())
+
+    def build(mesh_devices):
+        cfg = loads_config(
+            f'fft_size = 512;\nwave_rate = {WR};\nmesh_devices = {mesh_devices};\n'
+            f'demod_backend = "xla";\n'
+            f'devices: ( {{ type = "file"; filepath = "{iq}"; mode = "scan"; '
+            f'sample_rate = {FS}; sample_format = "u8"; speedup_factor = 0.0; channels: ( '
+            f'{{ freqs = ( {freqs[1]}, {freqs[3]} ); outputs: ( {{ type = "udp_stream"; '
+            f'dest_address = "127.0.0.1"; dest_port = 25010; }} ); }} ); }} );\n'
+        )
+        app = App(cfg)
+        sc = app.devices[0].scan
+        t = [_time.time()]  # anchor at real now: the controller's check
+        sc._clock = lambda: t[0]  # cadence anchor was set at construction
+        blocks = []
+        orig = app._handle_block
+
+        def record(rt, out):
+            blocks.append((np.asarray(out["audio"]).copy(), bool(np.asarray(out["active"])[0])))
+            orig(rt, out)
+
+        app._handle_block = record
+        return app, sc, t, blocks
+
+    def run(app, sc, t):
+        app.start()
+        t0 = _time.time()
+        try:
+            while _time.time() - t0 < 300:
+                t[0] += 0.25  # fake 250 ms per service tick
+                app._service_once()
+                if not any(rt.alive for rt in app.devices):
+                    break
+        finally:
+            app.stop()
+
+    app1, sc1, t1, blocks1 = build(0)
+    run(app1, sc1, t1)
+    assert app1.mesh is None
+    assert sc1.st.freq_idx == 1, "single-device scan never hopped"
+
+    app8, sc8, t8, blocks8 = build(8)
+    assert app8.mesh is not None
+    run(app8, sc8, t8)
+    assert sc8.st.freq_idx == 1, "mesh scan never hopped"
+    assert app8.devices[0].channels[0].freq_idx == 1
+
+    assert len(blocks1) == len(blocks8) and len(blocks1) >= 3
+    for k, ((a_audio, a_act), (b_audio, b_act)) in enumerate(zip(blocks1, blocks8)):
+        # float tolerance: the post-retune taps exercise a fresh matmul
+        # fusion whose reduction order can differ by 1 ulp on a near-tie
+        # sample (observed: one sample, 6e-8); gating must be identical
+        np.testing.assert_allclose(a_audio, b_audio, atol=1e-6, err_msg=f"block {k}")
+        assert a_act == b_act, k
+    # the carrier frequency actually opened squelch after the hop
+    assert any(act for _, act in blocks1)
