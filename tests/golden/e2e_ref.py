@@ -133,6 +133,9 @@ class UdpCapture(threading.Thread):
     def __init__(self):
         super().__init__(daemon=True)
         self.sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        # request a large buffer (the kernel caps at rmem_max; at speedup=4
+        # each channel's whole stream is ~320 KB of bursts, and a capture
+        # thread stalled behind the GIL under full-suite load must not drop)
         self.sock.setsockopt(socket.SOL_SOCKET, socket.SO_RCVBUF, 8 << 20)
         self.sock.bind(("127.0.0.1", 0))
         self.sock.settimeout(0.25)
@@ -356,7 +359,7 @@ def compare_guarded(ref: np.ndarray, tpu: np.ndarray, guard: int = 8000, max_lag
     )
 
 
-def run_e2e(workdir: str, speedup: float = 8) -> dict[str, Comparison]:
+def run_e2e(workdir: str, speedup: float = 4) -> dict[str, Comparison]:
     u8 = make_scene()
     ref = run_reference(u8, workdir, speedup=speedup)
     tpu = run_tpu(u8)
@@ -377,7 +380,7 @@ def run_e2e_quadri(workdir: str) -> dict[str, Comparison]:
     """-Q: fm_quadri_demod instead of polar_disc_fast
     (reference: rtl_airband.cpp:174-176,725-761 getopt 'Q', :570)."""
     u8 = make_scene()
-    ref = run_reference(u8, workdir, speedup=8, extra_args=("-Q",))
+    ref = run_reference(u8, workdir, speedup=4, extra_args=("-Q",))
     tpu = run_tpu(u8, fm_quadri=True)
     return {ch.name: compare(ref[ch.name], tpu[ch.name]) for ch in CHANNELS}
 
