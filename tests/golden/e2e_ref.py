@@ -184,8 +184,13 @@ def _run_binary(u8: np.ndarray, workdir: str, cfg_for_ports, names: list[str], e
         f.write(cfg_for_ports(iqfile, {k: c.port for k, c in caps.items()}))
     # -F foreground (no TUI), -e log to stderr.  The binary exits on file EOF
     # (INPUT_FAILED -> devices_running==0, reference: rtl_airband.cpp:377-391).
+    # the binary is a REAL-TIME consumer: its ring holds only ~1.25 s of
+    # stream (x speedup less in wall time) and silently DROPS IQ when its
+    # demod thread is CPU-starved — run it at elevated priority (we are
+    # root in CI) and moderate speedup so full-suite load can't starve it
+    nice = ["nice", "-n", "-10"] if os.geteuid() == 0 else []
     proc = subprocess.run(
-        [binary, "-F", "-e", *extra_args, "-c", cfg_path],
+        [*nice, binary, "-F", "-e", *extra_args, "-c", cfg_path],
         capture_output=True,
         text=True,
         timeout=timeout,
@@ -359,7 +364,7 @@ def compare_guarded(ref: np.ndarray, tpu: np.ndarray, guard: int = 8000, max_lag
     )
 
 
-def run_e2e(workdir: str, speedup: float = 4) -> dict[str, Comparison]:
+def run_e2e(workdir: str, speedup: float = 2) -> dict[str, Comparison]:
     u8 = make_scene()
     ref = run_reference(u8, workdir, speedup=speedup)
     tpu = run_tpu(u8)
@@ -380,7 +385,7 @@ def run_e2e_quadri(workdir: str) -> dict[str, Comparison]:
     """-Q: fm_quadri_demod instead of polar_disc_fast
     (reference: rtl_airband.cpp:174-176,725-761 getopt 'Q', :570)."""
     u8 = make_scene()
-    ref = run_reference(u8, workdir, speedup=4, extra_args=("-Q",))
+    ref = run_reference(u8, workdir, speedup=2, extra_args=("-Q",))
     tpu = run_tpu(u8, fm_quadri=True)
     return {ch.name: compare(ref[ch.name], tpu[ch.name]) for ch in CHANNELS}
 
