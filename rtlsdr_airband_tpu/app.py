@@ -129,6 +129,11 @@ class DemodWorker(threading.Thread):
             except Exception as e:  # a broken device must not kill the app
                 log(LOG_WARNING, f"demod worker {self.rt.stats.index}: {type(e).__name__}: {e}")
                 self.rt.alive = False
+                # same cleanup the InputState.FAILED branch performs: drain
+                # the pipeline tail and disable the channel's mixer feeds, so
+                # downstream mixes don't wait out the late-input deadline on
+                # a dead device (reference: rtl_airband.cpp:377-391)
+                self.app._drain_and_disable(self.rt)
                 break
             if not worked:
                 time.sleep(0.005)
@@ -380,8 +385,16 @@ class App:
 
     def stop(self) -> None:
         self.do_exit = True
+        # join demod workers fully before touching their pipelines: a worker
+        # still blocked inside pipeline.feed (e.g. a first-dispatch compile
+        # taking minutes through the tunnel) must not race the main thread
+        # on _pending/_inflight/state (reference: the ordered join-everything
+        # shutdown, rtl_airband.cpp:1114-1158)
         for w in self._demod_workers:
-            w.join(timeout=30.0)
+            while w.is_alive():
+                w.join(timeout=30.0)
+                if w.is_alive():
+                    log(LOG_NOTICE, f"waiting for demod worker {w.rt.stats.index} (in-flight dispatch/compile)")
         self._demod_workers = []
         for rt in self.devices:
             rt.input.stop()
@@ -411,7 +424,24 @@ class App:
                 [rt.stats for rt in self.devices],
                 [MixerStats(name=n, output_overrun_count=m.output_overrun_count, input_overrun_counts=[i.overrun_count for i in m.inputs]) for n, m in self.mixers.items()],
             )
+        # join any background warm-compile threads so interpreter exit never
+        # races XLA (reference: rtl_airband.cpp:1114-1158 joins everything)
+        for rt in self.devices:
+            rt.pipeline.close()
         log(LOG_NOTICE, "shutdown complete")
+
+    def _drain_and_disable(self, rt: DeviceRuntime) -> None:
+        """Failure cleanup shared by the InputState.FAILED branch and the
+        DemodWorker exception path: drain the pipeline's in-flight tail,
+        then disable the device's mixer feeds."""
+        try:
+            for out in rt.pipeline.flush():
+                self._handle_block(rt, out)
+        except Exception as e:  # the drain itself may hit the broken device
+            log(LOG_WARNING, f"device {rt.stats.index}: drain failed: {type(e).__name__}: {e}")
+        for chrt in rt.channels:
+            for m, idx in chrt.outputs.mixer_feeds:
+                m.disable_input(idx)
 
     def run(self, max_seconds: float | None = None) -> None:
         """Main loop: drain inputs, process blocks, service mixers/outputs.
@@ -450,12 +480,8 @@ class App:
                 if tail is not None:
                     for out in rt.pipeline.feed(tail):
                         self._handle_block(rt, out)
-            for out in rt.pipeline.flush():
-                self._handle_block(rt, out)
             log(LOG_NOTICE, f"device {rt.stats.index}: input failed — disabling outputs")
-            for chrt in rt.channels:
-                for m, idx in chrt.outputs.mixer_feeds:
-                    m.disable_input(idx)
+            self._drain_and_disable(rt)
             return False
         # ring overflow counter -> device stats (reference: the rx
         # callback's overflow detection feeding buffer_overflow_count,

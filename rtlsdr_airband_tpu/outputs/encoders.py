@@ -3,9 +3,10 @@
 The reference encodes every audio batch once per channel with LAME
 (reference: src/output.cpp:456-462, airlame_init output.cpp:148-172) and fans
 the MP3 bytes out to all sinks.  Here the encoder is a host-side component
-behind a small byte-stream interface; MP3 uses the ``lame`` CLI when present
-(no LAME shared library is assumed), with WAV (PCM s16) as the always-available
-fallback, matching the reference's rates: in 8/16 kHz -> out 8 kHz mono,
+behind a small byte-stream interface; MP3 binds ``libmp3lame`` directly via
+ctypes (``lame_encode_buffer_ieee_float`` per batch, like the reference),
+with WAV (PCM s16) as the always-available fallback when the shared library
+is absent, matching the reference's rates: in 8/16 kHz -> out 8 kHz mono,
 VBR quality 7, bitrate 16.
 """
 

@@ -38,7 +38,8 @@ class IcecastOutput:
         # TLS modes mirror the reference's libshout mapping
         # (config.cpp:59-93): disabled | auto (try TLS, fall back to plain) |
         # auto_no_plain (TLS only) | transport (TLS-on-connect, RFC2818) |
-        # upgrade (treated as TLS-on-connect here)
+        # upgrade (RFC2817: plain connect, in-band Upgrade: TLS/1.0 to 101
+        # Switching Protocols, then handshake on the same socket)
         self.tls = tls
         self.server = server
         self.port = port
@@ -118,6 +119,8 @@ class IcecastOutput:
         ctx = ssl.create_default_context()
         ctx.check_hostname = False
         ctx.verify_mode = ssl.CERT_NONE  # reference: shout TLS without CA config
+        if self.tls == "upgrade":
+            return self._rfc2817_upgrade(plain, ctx, timeout)
         try:
             return ctx.wrap_socket(plain, server_hostname=self.server)
         except (OSError, ssl.SSLError):
@@ -127,6 +130,39 @@ class IcecastOutput:
                     return socket.create_connection((self.server, self.port), timeout=timeout)
                 except OSError:
                     return None
+            return None
+
+    def _rfc2817_upgrade(self, plain: socket.socket, ctx, timeout: float):
+        """RFC2817 plain->TLS upgrade (libshout SHOUT_TLS_RFC2817; reference
+        mode mapping config.cpp:59-93): OPTIONS * with ``Upgrade: TLS/1.0``
+        on the plaintext connection, require ``101 Switching Protocols``,
+        then run the TLS handshake on the SAME socket."""
+        import ssl
+
+        try:
+            plain.settimeout(timeout)
+            plain.sendall(
+                (
+                    f"OPTIONS * HTTP/1.1\r\nHost: {self.server}:{self.port}\r\n"
+                    "Upgrade: TLS/1.0\r\nConnection: Upgrade\r\n\r\n"
+                ).encode()
+            )
+            # read exactly through the end of the 101 header block; anything
+            # after \r\n\r\n belongs to the TLS handshake
+            resp = b""
+            while b"\r\n\r\n" not in resp:
+                chunk = plain.recv(1)
+                if not chunk:
+                    raise OSError("connection closed during TLS upgrade")
+                resp += chunk
+                if len(resp) > 8192:
+                    raise OSError("oversized TLS upgrade response")
+            status = resp.split(b"\r\n", 1)[0].decode(errors="replace")
+            if " 101 " not in f"{status} ":
+                raise OSError(f"TLS upgrade refused: {status!r}")
+            return ctx.wrap_socket(plain, server_hostname=self.server)
+        except (OSError, ssl.SSLError):
+            plain.close()
             return None
 
     def disconnect(self) -> None:

@@ -139,7 +139,13 @@ class PulseAsyncOutput:
             self._setup_streams_locked()
         elif st in (PA_CONTEXT_FAILED, PA_CONTEXT_TERMINATED):
             log(LOG_WARNING, f"pulse: context {'failed' if st == PA_CONTEXT_FAILED else 'terminated'} for stream {self.stream_name!r}")
-            self.left = self.right = None
+            # full teardown, not just nulled streams: reconnect() keys on
+            # ``context is None``, so leaving the dead context set would
+            # make the output silently dead for the rest of the process
+            # (the reference nulls it via pulse_shutdown from
+            # pulse_ctx_state_cb for the same reason).  Safe here: this
+            # callback runs on the mainloop thread with the loop lock held.
+            self._teardown_locked()
 
     def _setup_streams_locked(self) -> None:
         """pulse.cpp:122-146: mono float32 streams, left first, right synced

@@ -436,6 +436,7 @@ class Pipeline:
         self.blocks_processed = 0
         self.gather_overflow_count = 0  # active-gather slot overflows (see _to_host)
         self._flush_warmed = False  # k=1 chain pre-compiled (see _warm_flush_path)
+        self._warm_threads: list = []  # background warm compiles (joined in close())
 
         self._prime_len = (self.A - 1) * self.hop + self.N
         self._block_need = self.W * self.hop  # new samples consumed per block
@@ -522,12 +523,14 @@ class Pipeline:
     def _pending_consume(self, n_samples: int) -> None:
         self._pending = self._pending[n_samples:] if self._ship == "pairs" else self._pending[2 * n_samples :]
 
-    def _chain_kwargs(self) -> dict:
+    def _chain_kwargs(self, ship: str | None = None) -> dict:
+        if ship is None:
+            ship = self._ship
         return dict(
             hop=self.hop, fft_size=self.N, n_frames=self.W,
             use_fft=self.cfg.channelizer == "fft", fm_quadri=self.cfg.fm_quadri,
             with_ctcss=self.any_ctcss, with_afc=self.any_afc, with_iq=self.any_iq,
-            sample_fmt=self._ship if self._ship != "pairs" else "pairs",
+            sample_fmt=ship if ship != "pairs" else "pairs",
             fullscale=float(self.cfg.fullscale),
             active_slots=max(0, int(self.cfg.active_slots)),
             with_flags=bool(self.cfg.fetch_open_flags),
@@ -584,9 +587,13 @@ class Pipeline:
         compiles the production chain in minutes and cannot cache across
         processes — CLAUDE.md)."""
         k = k_blocks if k_blocks is not None else max(1, int(self.cfg.chunk_blocks))
-        if self._ship is None:
-            self._ship = self.cfg.sample_format if self.cfg.sample_format in ("u8", "s8", "s16") else "pairs"
-        kwargs = self._chain_kwargs()
+        # guess the ship format WITHOUT pinning self._ship: feed() documents
+        # that decoded arrays (complex64 / [L, 2] f32 pairs) are accepted even
+        # when cfg.sample_format is raw, and _resolve_ship must still see the
+        # actual first payload — a warm-time pin would route floats through
+        # the raw-ship branch and value-cast them to bytes (round-3 advisory)
+        ship = self._ship or (self.cfg.sample_format if self.cfg.sample_format in ("u8", "s8", "s16") else "pairs")
+        kwargs = self._chain_kwargs(ship)
         mags = jnp.zeros((self.A, self.C), jnp.float32)
         state = init_demod_state(self.C, mags, jnp.zeros((self.A, self.C, 2), jnp.float32))
         if self.mesh is not None:
@@ -651,7 +658,25 @@ class Pipeline:
             except Exception:
                 pass  # warm-up is best-effort; flush falls back to compiling
 
-        threading.Thread(target=work, daemon=True, name="flush-warm").start()
+        # NON-daemon and tracked: a daemon thread still inside XLA when the
+        # interpreter exits aborts C++ teardown ("FATAL: exception not
+        # rethrown", rc 134/139).  The reference guarantees an ordered
+        # join-everything shutdown (rtl_airband.cpp:1114-1158); close() is
+        # our equivalent, and non-daemon means even an unclosed Pipeline
+        # cannot crash process exit (threading._shutdown joins it first).
+        self._warm_threads = [t for t in self._warm_threads if t.is_alive()]
+        t = threading.Thread(target=work, daemon=False, name="flush-warm")
+        self._warm_threads.append(t)
+        t.start()
+
+    def close(self) -> None:
+        """Join background warm-compile threads.  Call at shutdown before
+        interpreter exit (App.stop() does); idempotent.  The in-flight chunk
+        queue is left alone — iterate :meth:`flush` first if the dispatched
+        audio matters."""
+        for t in self._warm_threads:
+            t.join()
+        self._warm_threads = []
 
     def _to_host(self, item) -> Iterator[dict]:
         """Fetch one in-flight chunk and unpack it into per-block dicts with

@@ -214,7 +214,7 @@ def run_reference(u8: np.ndarray, workdir: str, speedup: float = 8, extra_args: 
     )
 
 
-def run_tpu(u8: np.ndarray, fm_quadri: bool = False, as_s16: bool = False) -> dict[str, np.ndarray]:
+def run_tpu(u8: np.ndarray, fm_quadri: bool = False, as_s16: bool = False, channelizer: str = "matmul", precision: str | None = None) -> dict[str, np.ndarray]:
     """Run our pipeline on the same bytes; returns per-channel audio.
 
     as_s16=True re-encodes the scene as s16 with fullscale 32640 = 127.5*256
@@ -223,9 +223,22 @@ def run_tpu(u8: np.ndarray, fm_quadri: bool = False, as_s16: bool = False) -> di
     ship + on-device-decode path through the identical golden comparison.
     The unmodified reference binary itself can only ingest u8 from a file
     (input-file.cpp:170), so the s16 *decode semantics* are what this pins.
+
+    ``channelizer``/``precision`` override the channelizer variant for the
+    CTCSS-isolation experiment (scripts/e2e_ctcss_isolation.py): precision
+    is a jax.lax.Precision name applied to the matmul-DFT taps; the jit
+    caches are cleared so the override takes effect mid-process.
     """
     from rtlsdr_airband_tpu.ops.params import ChannelSpec
     from rtlsdr_airband_tpu.runtime.pipeline import Pipeline, PipelineConfig
+
+    if precision is not None:
+        import jax
+
+        from rtlsdr_airband_tpu.ops import channelizer as chmod
+
+        chmod.MATMUL_PRECISION = getattr(jax.lax.Precision, precision)
+        jax.clear_caches()  # MATMUL_PRECISION is read at trace time
 
     if as_s16:
         s16 = ((u8.astype(np.int32) - 128) * 256 + 128).astype(np.int16)
@@ -243,6 +256,7 @@ def run_tpu(u8: np.ndarray, fm_quadri: bool = False, as_s16: bool = False) -> di
         sample_format=fmt,
         fullscale=fullscale,
         fm_quadri=fm_quadri,
+        channelizer=channelizer,
     )
     specs = [
         ChannelSpec(

@@ -11,12 +11,13 @@ derotator), AM + bandwidth (Bessel lowpass + squelch post-filter path +
 ampfactor + manual SNR threshold), NFM + CTCSS + notch.
 
 The three filter-free/filtered-deterministic channels match the binary to
-float roundoff (>100 dB SNR, exact gating).  The CTCSS channel's fast-window
-detector makes threshold-marginal decisions (target-power == max-power with
-heavy 20 Hz-bin leakage), so single windows at key-on can flip on f32
-channelizer roundoff (matmul DFT vs the binary's per-frame FFT); the bound is
-correspondingly looser and backed by the refmodel triangulation:
-refmodel == binary gating 1.0, kernel == refmodel audio to 2e-5.
+float roundoff (>100 dB SNR, exact gating).  The CTCSS channels carry ONE
+near-tie fast-window decision each on this scene; the round-4 isolation
+experiment (scripts/e2e_ctcss_isolation.py, E2E_GOLDEN.md) proved the tie
+is broken by implementation numerics, not semantics — on the production
+TPU platform every channelizer variant matches the binary exactly
+(gating 1.0), on XLA:CPU exactly one window flips and which one moves with
+the channelizer algorithm while being invariant to matmul precision.
 """
 
 import os
@@ -52,10 +53,19 @@ def test_exact_channels_match_reference_binary(e2e_results, name):
 
 
 def test_ctcss_channel_matches_reference_binary(e2e_results):
+    """Round-4 isolation (scripts/e2e_ctcss_isolation.py, E2E_GOLDEN.md)
+    proved the residual gap is ONE near-tie fast-window decision whose
+    outcome is numerics-tie-breaking, not semantics: on XLA:CPU (this
+    suite) exactly one window flips vs the binary and WHICH window flips
+    moves with the channelizer algorithm (fft channelizer matches this
+    channel 1.0/89 dB but flips one on nfm_ctcss_strong), while HIGH vs
+    HIGHEST precision is bit-identical; on the production TPU platform
+    every variant matches the binary at gating 1.0 / 88 dB.  The bound
+    covers the CPU tie-break mode deterministically measured here."""
     c = e2e_results["nfm_ctcss"]
     assert abs(c.lag) <= 2, c
-    assert c.snr_db >= 25.0, c  # measured: 34 dB; limited by one marginal fast window
-    assert c.gating_agreement >= 0.985, c  # measured: 0.9897
+    assert c.snr_db >= 25.0, c  # measured on CPU: 34.4 dB (open-edge transient of the flipped window); on TPU: 88.3 dB
+    assert c.gating_agreement >= 0.985, c  # measured on CPU: 0.98974; on TPU: 1.0
     assert 0.05 < c.open_fraction_ref < 0.95, c
 
 

@@ -404,6 +404,108 @@ def test_icecast_metadata_background_delivery():
         srv.close()
 
 
+def _selfsigned_cert(tmp_path):
+    import subprocess
+
+    key, crt = str(tmp_path / "key.pem"), str(tmp_path / "cert.pem")
+    subprocess.run(
+        ["openssl", "req", "-x509", "-newkey", "rsa:2048", "-keyout", key, "-out", crt,
+         "-days", "1", "-nodes", "-subj", "/CN=localhost"],
+        check=True, capture_output=True,
+    )
+    return key, crt
+
+
+def test_icecast_rfc2817_upgrade_tls(tmp_path):
+    """tls = "upgrade" must do a REAL RFC2817 plain->TLS switch (libshout
+    SHOUT_TLS_RFC2817; reference mode table config.cpp:59-93): plaintext
+    OPTIONS with Upgrade: TLS/1.0, then a TLS handshake on the same socket,
+    then the normal source PUT inside the tunnel."""
+    import socket as socketlib
+    import ssl as ssllib
+    import threading as threadinglib
+
+    from rtlsdr_airband_tpu.outputs.icecast import IcecastOutput
+
+    key, crt = _selfsigned_cert(tmp_path)
+    sctx = ssllib.SSLContext(ssllib.PROTOCOL_TLS_SERVER)
+    sctx.load_cert_chain(crt, key)
+
+    seen: dict = {}
+    srv = socketlib.socket()
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+
+    def serve():
+        srv.settimeout(10.0)
+        c, _ = srv.accept()
+        c.settimeout(10.0)
+        req = b""
+        while b"\r\n\r\n" not in req:
+            req += c.recv(4096)
+        seen["upgrade_req"] = req
+        c.sendall(b"HTTP/1.1 101 Switching Protocols\r\nUpgrade: TLS/1.0\r\nConnection: Upgrade\r\n\r\n")
+        tls = sctx.wrap_socket(c, server_side=True)
+        put = b""
+        while b"\r\n\r\n" not in put:
+            put += tls.recv(4096)
+        seen["put_req"] = put
+        tls.sendall(b"HTTP/1.1 200 OK\r\n\r\n")
+        seen["audio"] = tls.recv(4096)
+        tls.close()
+
+    t = threadinglib.Thread(target=serve, daemon=True)
+    t.start()
+    try:
+        ice = IcecastOutput("127.0.0.1", port, "/mount", password="pw", tls="upgrade")
+        assert ice.connect(timeout=5.0)
+        assert ice.send(b"mp3frame")
+        t.join(timeout=10.0)
+        assert b"Upgrade: TLS/1.0" in seen["upgrade_req"]
+        assert seen["upgrade_req"].startswith(b"OPTIONS * HTTP/1.1")
+        assert seen["put_req"].startswith(b"PUT /mount HTTP/1.1")  # inside TLS
+        assert seen["audio"] == b"mp3frame"
+    finally:
+        srv.close()
+
+
+def test_icecast_rfc2817_upgrade_refused():
+    """A server that answers the upgrade request with anything but 101 must
+    fail the connect (no silent plaintext fallback in ``upgrade`` mode)."""
+    import socket as socketlib
+    import threading as threadinglib
+
+    from rtlsdr_airband_tpu.outputs.icecast import IcecastOutput
+
+    srv = socketlib.socket()
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+
+    def serve():
+        srv.settimeout(10.0)
+        try:
+            c, _ = srv.accept()
+            c.settimeout(10.0)
+            req = b""
+            while b"\r\n\r\n" not in req:
+                req += c.recv(4096)
+            c.sendall(b"HTTP/1.1 200 OK\r\n\r\n")
+            c.close()
+        except OSError:
+            pass
+
+    t = threadinglib.Thread(target=serve, daemon=True)
+    t.start()
+    try:
+        ice = IcecastOutput("127.0.0.1", port, "/mount", tls="upgrade")
+        assert not ice.connect(timeout=5.0)
+        assert not ice.connected
+    finally:
+        srv.close()
+
+
 # ---------------------------------------------------------------- pulse sink
 
 
