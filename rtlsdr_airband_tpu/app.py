@@ -208,6 +208,15 @@ class DeviceRuntime:
     _prime_need: int = 0
     indicators: list[str] = field(default_factory=list)
     sink_worker: SinkWorker | None = None
+    # vectorized block handling (devices without scan/AFC): per-channel
+    # python work scales O(open + idle-tick channels), not O(C) — at 8192
+    # channels the naive loop costs ~70 ms of the 125 ms realtime budget
+    fast_path: bool = False
+    freq0: np.ndarray | None = None  # [C] frequency of freqs[0]
+    idle_tick_idx: np.ndarray | None = None  # channels needing closed-squelch process()
+    activity_accum: np.ndarray | None = None  # [C] open-block counter
+    block_meta: dict | None = None  # last block's meta arrays (lazy stats)
+    zero_block: np.ndarray | None = None  # shared [W] silence buffer
 
 
 class App:
@@ -368,6 +377,26 @@ class App:
         rt = DeviceRuntime(cfg=d, input=inp, pipeline=pipeline, channels=chrts, scan=scan, stats=dev_stats)
         rt.bytes_per_block = pipeline._block_need * inp.bytes_per_sample
         rt.indicators = [" "] * len(chrts)
+
+        # vectorized fast path for control-free devices: sinks that still
+        # need a closed-squelch call each block are exactly the ones the
+        # reference's process_outputs touches when squelch is closed —
+        # icecast (streams encoded silence), continuous-mode files, and
+        # mixer inputs (deadline accounting needs the silence batch)
+        rt.fast_path = scan is None and not any(ch.afc for ch in d.channels)
+        if rt.fast_path:
+            rt.freq0 = np.array([c.spec_source.freqs[0].frequency for c in chrts], np.int64)
+            idle = [
+                ci
+                for ci, c in enumerate(chrts)
+                if c.outputs.icecasts
+                or c.outputs.mixer_feeds
+                or any(fo.continuous for fo in c.outputs.files)
+                or any(fo.continuous for fo in c.outputs.iq_files)
+            ]
+            rt.idle_tick_idx = np.array(idle, np.int64)
+            rt.activity_accum = np.zeros(len(chrts), np.int64)
+            rt.zero_block = np.zeros(self.wave_rate // 8, np.float32)
         return rt
 
     # -------------------------------------------------------------------- run
@@ -420,6 +449,7 @@ class App:
         for name, oset in self.mixer_outputs.items():
             oset.close()
         if self.stats_writer is not None:
+            self._sync_all_stats()
             self.stats_writer.write(
                 [rt.stats for rt in self.devices],
                 [MixerStats(name=n, output_overrun_count=m.output_overrun_count, input_overrun_counts=[i.overrun_count for i in m.inputs]) for n, m in self.mixers.items()],
@@ -510,7 +540,8 @@ class App:
         self._service_outputs_check()
         if self.tui and self._demod_workers:
             self._draw_tui()
-        if self.stats_writer is not None:
+        if self.stats_writer is not None and self.stats_writer.due():
+            self._sync_all_stats()
             self.stats_writer.maybe_write(
                 [rt.stats for rt in self.devices],
                 [MixerStats(name=n, output_overrun_count=m.output_overrun_count, input_overrun_counts=[i.overrun_count for i in m.inputs]) for n, m in self.mixers.items()],
@@ -520,6 +551,9 @@ class App:
     # ---------------------------------------------------------------- blocks
 
     def _handle_block(self, rt: DeviceRuntime, out: dict) -> None:
+        if rt.fast_path:
+            self._handle_block_fast(rt, out)
+            return
         audio = np.asarray(out["audio"])  # [W, C]
         active = np.asarray(out["active"])  # [C]
         signal_level = np.asarray(out["signal_level"])
@@ -570,7 +604,9 @@ class App:
                 scan_tag=scan_tag,
             )
             if rt.sink_worker is not None:
-                sink_jobs.append((chrt.outputs.process, (audio[:, ci],), kwargs))
+                # copy: the job runs async on the sink thread, and the
+                # pipeline reuses its dense audio buffer between blocks
+                sink_jobs.append((chrt.outputs.process, (np.array(audio[:, ci]),), kwargs))
             else:
                 chrt.outputs.process(audio[:, ci], **kwargs)
 
@@ -604,6 +640,95 @@ class App:
 
         if self.tui and not self._demod_workers:
             self._draw_tui()  # with demod workers the main loop redraws
+
+    def _handle_block_fast(self, rt: DeviceRuntime, out: dict) -> None:
+        """O(open + idle-tick) block handling for control-free devices.
+
+        The naive per-channel loop costs ~70 ms/block at 8192 channels —
+        more than half the 125 ms realtime budget — almost all of it
+        per-channel python for CLOSED channels whose sinks do nothing.
+        Here the per-block python touches only open channels and the
+        precomputed idle-tick set; meta arrays are kept on the runtime and
+        folded into the per-freq stats objects lazily at stats-write/TUI
+        cadence (:meth:`_sync_stats`).  Semantics vs the slow path are
+        identical for devices without scan/AFC (asserted equal in
+        tests/test_app.py::test_fast_path_matches_slow_path)."""
+        audio = np.asarray(out["audio"])  # [W, C]
+        active = np.asarray(out["active"])  # [C]
+        rt.block_meta = out
+        rt.activity_accum += active
+
+        iq_out = None
+        if "iq_out" in out:
+            pairs = np.asarray(out["iq_out"])  # [W, C, 2] f32
+            iq_out = (pairs[..., 0] + 1j * pairs[..., 1]).astype(np.complex64)
+
+        sink_jobs: list = []
+        open_idx = np.flatnonzero(active)
+        # one batched gather instead of per-channel strided column reads:
+        # sinks serialize the audio (tobytes/encode), and a non-contiguous
+        # [W] column copy per open channel costs more than the whole rest
+        # of the fast path at a few hundred open channels
+        open_audio = np.ascontiguousarray(audio[:, open_idx].T)  # [n_open, W]
+        for j, ci in enumerate(open_idx):
+            chrt = rt.channels[ci]
+            kwargs = dict(
+                iq=iq_out[:, ci] if iq_out is not None else None,
+                has_signal=True,
+                frequency=int(rt.freq0[ci]),
+            )
+            if rt.sink_worker is not None:
+                sink_jobs.append((chrt.outputs.process, (open_audio[j],), kwargs))
+            else:
+                chrt.outputs.process(open_audio[j], **kwargs)
+        for ci in rt.idle_tick_idx:
+            if active[ci]:
+                continue
+            chrt = rt.channels[ci]
+            kwargs = dict(has_signal=False, frequency=int(rt.freq0[ci]))
+            if rt.sink_worker is not None:
+                sink_jobs.append((chrt.outputs.process, (rt.zero_block,), kwargs))
+            else:
+                chrt.outputs.process(rt.zero_block, **kwargs)
+
+        if rt.sink_worker is not None:
+            rt.sink_worker.submit(sink_jobs)
+            rt.stats.output_overrun_count = rt.sink_worker.overrun_count
+
+        sig_outside = np.asarray(out["sig_outside"])
+        rt.indicators = np.where(sig_outside, "~", np.where(active, "*", " ")).tolist()
+        if self.tui and not self._demod_workers:
+            self._draw_tui()
+
+    def _sync_stats(self, rt: DeviceRuntime) -> None:
+        """Fold the last block's meta arrays into the per-freq stats objects
+        (fast-path devices defer this from per-block to stats/TUI cadence)."""
+        m = rt.block_meta
+        if m is None:
+            return
+        nl = np.asarray(m["noise_level"]).tolist()
+        sl = np.asarray(m["signal_level"]).tolist()
+        ql = np.asarray(m["squelch_level"]).tolist()
+        oc = np.asarray(m["open_count"]).tolist()
+        fc = np.asarray(m["flappy_count"]).tolist()
+        cf = np.asarray(m["ctcss_found"]).tolist()
+        cn = np.asarray(m["ctcss_not_found"]).tolist()
+        act = rt.activity_accum.tolist()
+        for ci, chrt in enumerate(rt.channels):
+            fs = chrt.stats[0]  # fast-path devices never leave freq_idx 0
+            fs.noise_level = nl[ci]
+            fs.signal_level = sl[ci]
+            fs.squelch_level = ql[ci]
+            fs.squelch_open_count = oc[ci]
+            fs.flappy_count = fc[ci]
+            fs.ctcss_count = cf[ci]
+            fs.no_ctcss_count = cn[ci]
+            fs.activity_count = act[ci]
+
+    def _sync_all_stats(self) -> None:
+        for rt in self.devices:
+            if rt.fast_path:
+                self._sync_stats(rt)
 
     def _retune_scan(self, rt: DeviceRuntime, new_center: int) -> None:
         """reference: controller_thread hop (rtl_airband.cpp:112-123)."""
@@ -658,6 +783,7 @@ class App:
 
     def _draw_tui(self) -> None:
         """ANSI status grid (reference: rtl_airband.cpp:632-643, 1033-1048)."""
+        self._sync_all_stats()  # fast-path devices defer stats to draw/write cadence
         lines = ["\x1b[H\x1b[2J=== rtlsdr-airband-tpu ==="]
         for rt in self.devices:
             lines.append(f"device {rt.stats.index} [{rt.cfg.type}] center={rt.pipeline.cfg.center_freq / 1e6:.3f} MHz")

@@ -83,7 +83,15 @@ def _tile_shape(C: int) -> tuple[int, int]:
     """(sublanes, channels-per-tile).  The per-sample loop is latency-bound,
     not throughput-bound: measured on v5e, a (32,128) elementwise op chain
     costs the same wall time per step as (8,128) — wider tiles ride the VPU
-    pipeline for free — so large channel counts use 4096-channel tiles."""
+    pipeline for free — so large channel counts use 4096-channel tiles.
+    (64-sublane tiles were probed in round 4 — scripts/bench_tile.py — and
+    RTLSDR_DEMOD_SUBL overrides for experiments.)"""
+    import os
+
+    env = os.environ.get("RTLSDR_DEMOD_SUBL")
+    if env:
+        subl = int(env)
+        return subl, subl * LANE
     if C <= 1024:
         subl = 8
     elif C <= 2048:
@@ -98,7 +106,8 @@ PF_ALPHA, PF_AMP, PF_MANUAL, PF_NRATIO, PF_FRATIO = 0, 1, 2, 3, 4
 PF_LPGAIN, PF_LPY0, PF_LPY1, PF_ND0, PF_ND1, PF_ND2 = 5, 6, 7, 8, 9, 10
 PF_FNTONES, PF_SNTONES = 11, 12
 PF_ISNFM, PF_RAWIQ, PF_IQOUT, PF_USEMAN, PF_LPEN, PF_NOTCHEN, PF_CTCSSEN = 13, 14, 15, 16, 17, 18, 19
-PF_ROWS = 20
+PF_VALID = 20  # 1.0 for real channels, 0.0 for pad lanes (tile-gate masks)
+PF_ROWS = 21
 # i32 params
 PI_DPHI, PI_FWIN, PI_SWIN = 0, 1, 2
 PI_ROWS = 3
@@ -190,6 +199,20 @@ def _make_kernel(W: int, WT: int, fm_quadri: bool, with_ctcss: bool, with_iq: bo
         p_dphi = pi_ref[PI_DPHI, 0]
         p_fwin = pi_ref[PI_FWIN, 0]
         p_swin = pi_ref[PI_SWIN, 0]
+        # hoisted loop-invariant reciprocal: a VPU divide per step is ~an
+        # order of magnitude more issue slots than a multiply
+        p_inv_lpgain = F32(1.0) / p_lpgain
+
+        # per-tile cost-class gates (the cost_group_permutation clusters
+        # channels so whole tiles share these — the same trick the CTCSS
+        # bank already uses): an all-NFM tile skips the AM envelope/AGC
+        # block, an all-AM tile skips the discriminator/de-emphasis block,
+        # and a notch-free tile skips the notch biquad.  Pad lanes are
+        # excluded via PF_VALID so homogeneous populations gate cleanly.
+        valid = pf_ref[PF_VALID, 0] > 0.5
+        tile_am = jnp.any(is_am & valid)
+        tile_nfm = jnp.any(is_nfm & valid)
+        tile_notch = jnp.any(notch_en)
 
         def levels(nf, roc):
             """Eager squelch_level() (reference: squelch.cpp:169-177)."""
@@ -270,7 +293,7 @@ def _make_kernel(W: int, WT: int, fm_quadri: bool, with_ctcss: bool, with_iq: bo
 
             # ======== process_raw_sample rest (squelch.cpp:196-246) ========
             sample_count1 = si[SI_SAMPC] + 1
-            do_nf = (sample_count1 % 16) == 0
+            do_nf = (sample_count1 & 15) == 0  # % 16 (counts are non-negative)
             nf1 = jnp.where(do_nf, st_nf * NF_DECAY + jnp.minimum(st_prec, st_nf) * NF_NEW + NF_BIAS, st_nf)
             cap = F32(1.5) * jnp.where(useman, p_manual, p_nratio * nf1)
 
@@ -307,7 +330,7 @@ def _make_kernel(W: int, WT: int, fm_quadri: bool, with_ctcss: bool, with_iq: bo
             # table values sin(2*pi*i/256) are evaluated in-kernel
             phi = si[SI_PHI]
             idx = jax.lax.shift_right_logical(phi, 16)
-            fract = (phi & 0xFFFF).astype(F32) / F32(65536.0)
+            fract = (phi & 0xFFFF).astype(F32) * F32(1.0 / 65536.0)
             ang1 = idx.astype(F32) * _LUT_STEP
             s1 = jnp.sin(ang1)
             c1 = jnp.cos(ang1)
@@ -323,8 +346,8 @@ def _make_kernel(W: int, WT: int, fm_quadri: bool, with_ctcss: bool, with_iq: bo
 
             # complex Bessel lowpass biquad (filters.cpp:158-180)
             adv_lp = do_filter & lp_en
-            x2r = re_d / p_lpgain
-            x2i = im_d / p_lpgain
+            x2r = re_d * p_inv_lpgain
+            x2i = im_d * p_inv_lpgain
             xr0 = jnp.where(adv_lp, flt[FL_XR + 1], flt[FL_XR + 0])
             xr1 = jnp.where(adv_lp, flt[FL_XR + 2], flt[FL_XR + 1])
             xr2 = jnp.where(adv_lp, x2r, flt[FL_XR + 2])
@@ -383,47 +406,65 @@ def _make_kernel(W: int, WT: int, fm_quadri: bool, with_ctcss: bool, with_iq: bo
             env = dl[pos_dl]  # wavein[j - AGC_EXTRA] (oldest, pre-append)
             st_agc = sf[SF_AGC]
 
-            # AM squelch-open AGC bootstrap (rtl_airband.cpp:534-540): the
-            # reference's sequential fold over the 100-sample look-back,
-            # executed only on samples where some channel in the tile opens
-            trigger = first_open & is_am
-            tmp[:] = st_agc
-            @pl.when(jnp.any(trigger))
-            def _bootstrap():
-                def bloop(i, a):
-                    v = dl[(n + i) % AGC_EXTRA]  # i=0 oldest .. i=99 newest
-                    return jnp.where(v >= lvl1, F32(0.9) * a + F32(0.1) * v, a)
-                boot = jax.lax.fori_loop(0, AGC_EXTRA, bloop, st_agc)
-                tmp[:] = jnp.where(trigger, boot, st_agc)
-            agc1 = tmp[:]
+            # ---- AM path (skipped for all-NFM tiles) ----
+            tmp[1] = jnp.zeros_like(st_agc)  # waveout accumulator
+            tmp[2] = st_agc                  # post-demod agc accumulator
 
-            # AM envelope demod + AGC (rtl_airband.cpp:548-562)
-            am_agc_up = spa & is_am & (wavein_mod > lvl1)
-            agc_am = jnp.where(am_agc_up, agc1 * F32(0.995) + wavein_mod * F32(0.005), agc1)
-            w_am = (env - agc_am) / (agc_am * F32(1.5))
-            over = jnp.abs(w_am) > F32(0.8)
-            w_am = jnp.where(over, w_am * F32(0.85), w_am)
-            agc_am = jnp.where(spa & is_am & over, agc_am * F32(1.15), agc_am)
+            @pl.when(tile_am)
+            def _am_path():
+                # AM squelch-open AGC bootstrap (rtl_airband.cpp:534-540):
+                # the reference's sequential fold over the 100-sample
+                # look-back, executed only on samples where some channel in
+                # the tile opens
+                trigger = first_open & is_am
+                tmp[0] = st_agc
+                @pl.when(jnp.any(trigger))
+                def _bootstrap():
+                    def bloop(i, a):
+                        v = dl[(n + i) % AGC_EXTRA]  # i=0 oldest .. i=99 newest
+                        return jnp.where(v >= lvl1, F32(0.9) * a + F32(0.1) * v, a)
+                    boot = jax.lax.fori_loop(0, AGC_EXTRA, bloop, st_agc)
+                    tmp[0] = jnp.where(trigger, boot, st_agc)
+                agc1 = tmp[0]
 
-            # NFM discriminator + DC block + de-emphasis (rtl_airband.cpp:564-582)
-            pr0, pj0 = sf[SF_PR], sf[SF_PJ]
-            if fm_quadri:
-                disc = (pr0 * imag - real * pj0) / (real * real + imag * imag + F32(1.0)) * _M1PI
-            else:
-                cr = real * pr0 + imag * pj0
-                cj = imag * pr0 - real * pj0
-                disc = _fast_atan2(cj, cr) * _M1PI
-            agc_nfm = agc1 * F32(0.995) + disc * F32(0.005)
-            w_n = disc - agc_nfm
-            w_n = w_n * (F32(1.0) - p_alpha) + sf[SF_PREVW] * p_alpha
+                # AM envelope demod + AGC (rtl_airband.cpp:548-562)
+                am_agc_up = spa & is_am & (wavein_mod > lvl1)
+                agc_am = jnp.where(am_agc_up, agc1 * F32(0.995) + wavein_mod * F32(0.005), agc1)
+                w_am = (env - agc_am) / (agc_am * F32(1.5))
+                over = jnp.abs(w_am) > F32(0.8)
+                w_am = jnp.where(over, w_am * F32(0.85), w_am)
+                agc_am = jnp.where(spa & is_am & over, agc_am * F32(1.15), agc_am)
+                tmp[1] = w_am
+                # off-spa AM lanes keep agc1 (the bootstrap value must
+                # survive the OPENING sample where spa is still false)
+                tmp[2] = jnp.where(is_am, jnp.where(spa, agc_am, agc1), st_agc)
 
-            nfm_adv = spa & is_nfm
-            sf[SF_PR] = jnp.where(nfm_adv, real, pr0)
-            sf[SF_PJ] = jnp.where(nfm_adv, imag, pj0)
-            sf[SF_PREVW] = jnp.where(nfm_adv, w_n, sf[SF_PREVW])
-            agc2 = jnp.where(spa, jnp.where(is_am, agc_am, agc_nfm), agc1)
+            # ---- NFM path (skipped for all-AM tiles) ----
+            @pl.when(tile_nfm)
+            def _nfm_path():
+                # discriminator + DC block + de-emphasis
+                # (rtl_airband.cpp:564-582); NFM channels never run the
+                # bootstrap, so their pre-demod agc is st_agc as-is
+                pr0, pj0 = sf[SF_PR], sf[SF_PJ]
+                if fm_quadri:
+                    disc = (pr0 * imag - real * pj0) / (real * real + imag * imag + F32(1.0)) * _M1PI
+                else:
+                    cr = real * pr0 + imag * pj0
+                    cj = imag * pr0 - real * pj0
+                    disc = _fast_atan2(cj, cr) * _M1PI
+                agc_nfm = st_agc * F32(0.995) + disc * F32(0.005)
+                w_n = disc - agc_nfm
+                w_n = w_n * (F32(1.0) - p_alpha) + sf[SF_PREVW] * p_alpha
 
-            waveout = jnp.where(is_am, w_am, w_n)
+                nfm_adv = spa & is_nfm
+                sf[SF_PR] = jnp.where(nfm_adv, real, pr0)
+                sf[SF_PJ] = jnp.where(nfm_adv, imag, pj0)
+                sf[SF_PREVW] = jnp.where(nfm_adv, w_n, sf[SF_PREVW])
+                tmp[1] = jnp.where(is_am, tmp[1], w_n)
+                tmp[2] = jnp.where(is_am, tmp[2], jnp.where(spa, agc_nfm, st_agc))
+
+            waveout = tmp[1]
+            agc2 = tmp[2]
 
             dl[pos_dl] = wavein_mod  # append after env/bootstrap reads
 
@@ -497,19 +538,24 @@ def _make_kernel(W: int, WT: int, fm_quadri: bool, with_ctcss: bool, with_iq: bo
             open_now = spa & gate
 
             # ======== notch + ampfactor + clamp (rtl_airband.cpp:590-618) ========
-            adv_notch = open_now & notch_en
-            nx0 = jnp.where(adv_notch, flt[FL_NX + 1], flt[FL_NX + 0])
-            nx1 = jnp.where(adv_notch, flt[FL_NX + 2], flt[FL_NX + 1])
-            nx2 = jnp.where(adv_notch, waveout, flt[FL_NX + 2])
-            ny1p, ny2p = flt[FL_NY + 1], flt[FL_NY + 2]
-            ny2 = p_nd0 * nx2 - p_nd1 * nx1 + p_nd0 * nx0 + p_nd1 * ny2p - p_nd2 * ny1p
-            flt[FL_NX + 0] = nx0
-            flt[FL_NX + 1] = nx1
-            flt[FL_NX + 2] = nx2
-            flt[FL_NY + 0] = jnp.where(adv_notch, ny1p, flt[FL_NY + 0])
-            flt[FL_NY + 1] = jnp.where(adv_notch, ny2p, ny1p)
-            flt[FL_NY + 2] = jnp.where(adv_notch, ny2, ny2p)
-            w3 = jnp.where(notch_en, ny2, waveout)
+            # tmp[1] still holds waveout — the default w3 for notch-free tiles
+            @pl.when(tile_notch)
+            def _notch():
+                adv_notch = open_now & notch_en
+                nx0 = jnp.where(adv_notch, flt[FL_NX + 1], flt[FL_NX + 0])
+                nx1 = jnp.where(adv_notch, flt[FL_NX + 2], flt[FL_NX + 1])
+                nx2 = jnp.where(adv_notch, waveout, flt[FL_NX + 2])
+                ny1p, ny2p = flt[FL_NY + 1], flt[FL_NY + 2]
+                ny2 = p_nd0 * nx2 - p_nd1 * nx1 + p_nd0 * nx0 + p_nd1 * ny2p - p_nd2 * ny1p
+                flt[FL_NX + 0] = nx0
+                flt[FL_NX + 1] = nx1
+                flt[FL_NX + 2] = nx2
+                flt[FL_NY + 0] = jnp.where(adv_notch, ny1p, flt[FL_NY + 0])
+                flt[FL_NY + 1] = jnp.where(adv_notch, ny2p, ny1p)
+                flt[FL_NY + 2] = jnp.where(adv_notch, ny2, ny2p)
+                tmp[1] = jnp.where(notch_en, ny2, waveout)
+
+            w3 = tmp[1]
             w4 = w3 * p_amp
             w5 = jnp.where(w4 != w4, F32(0.0), jnp.clip(w4, -1.0, 1.0))
             waveout_final = jnp.where(open_now, w5, F32(0.0))
@@ -644,6 +690,7 @@ def demod_block_pallas(
         _pad_c(msk(p.lp_enabled), 0.0, C, Cp),
         _pad_c(msk(p.notch_enabled), 0.0, C, Cp),
         _pad_c(msk(p.ctcss_enabled), 0.0, C, Cp),
+        _pad_c(jnp.ones((C,), F32), 0.0, C, Cp),  # PF_VALID
     ])
     pf = _tile(pf, G, SUBL)
     pi = jnp.stack([
@@ -748,7 +795,7 @@ def demod_block_pallas(
         pltpu.VMEM((SQ_BUF, SUBL, LANE), F32),
         pltpu.VMEM((AGC_EXTRA, SUBL, LANE), F32),
         pltpu.VMEM((4, MAX_TONES, SUBL, LANE), F32),
-        pltpu.VMEM((SUBL, LANE), F32),
+        pltpu.VMEM((3, SUBL, LANE), F32),
     ]
 
     outs = pl.pallas_call(

@@ -68,6 +68,11 @@ class StatsWriter:
         # last_stats_write starts at thread launch, output.cpp:879,928-930)
         self._last_write = clock()
 
+    def due(self) -> bool:
+        """True when the next maybe_write() will actually write (lets the
+        app defer per-channel stats aggregation to write cadence)."""
+        return self._clock() - self._last_write >= STATS_INTERVAL
+
     def maybe_write(self, devices: list[DeviceStats], mixers: list[MixerStats] | None = None) -> bool:
         now = self._clock()
         if now - self._last_write < STATS_INTERVAL:

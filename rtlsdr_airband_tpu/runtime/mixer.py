@@ -106,7 +106,10 @@ class Mixer:
             inp = self.inputs[idx]
             inp.has_signal = has_signal
             if has_signal:
-                inp.wavein = np.asarray(samples, np.float32)
+                # copy, not view (reference memcpy's into the input buffer,
+                # mixer.cpp:126): the producer may reuse/overwrite its audio
+                # buffer before the mixer's poll consumes this batch
+                inp.wavein = np.array(samples, np.float32, copy=True)
             if inp.ready:
                 inp.overrun_count += 1
             else:

@@ -437,6 +437,12 @@ class Pipeline:
         self.gather_overflow_count = 0  # active-gather slot overflows (see _to_host)
         self._flush_warmed = False  # k=1 chain pre-compiled (see _warm_flush_path)
         self._warm_threads: list = []  # background warm compiles (joined in close())
+        # reused dense reconstruction buffers for active-gather mode (see
+        # _to_host); yielded audio/iq are valid until the NEXT block
+        self._dense_audio: np.ndarray | None = None
+        self._dense_dirty: np.ndarray = np.zeros(0, np.int64)
+        self._dense_iq: np.ndarray | None = None
+        self._dense_iq_dirty: np.ndarray = np.zeros(0, np.int64)
 
         self._prime_len = (self.A - 1) * self.hop + self.N
         self._block_need = self.W * self.hop  # new samples consumed per block
@@ -695,15 +701,31 @@ class Pipeline:
             if "slot_channel" in host:
                 idx = host["slot_channel"][i]
                 valid = idx >= 0
-                audio = np.zeros((self.W, self.C), np.float32)
-                audio[:, idx[valid]] = host["audio"][i][:, valid]
+                # the dense [W, C] buffer is REUSED between blocks (yielded
+                # audio is valid until the next block is yielded — consumers
+                # that retain it must copy): at C=8192 a fresh np.zeros is
+                # 65 MB of page faults per block, while re-zeroing only the
+                # previously-scattered columns is ~100x less memory traffic
+                audio = self._dense_audio
+                if audio is None or audio.shape != (self.W, self.C):
+                    audio = self._dense_audio = np.zeros((self.W, self.C), np.float32)
+                else:
+                    audio[:, self._dense_dirty] = 0.0
+                cols = idx[valid]
+                audio[:, cols] = host["audio"][i][:, valid]
+                self._dense_dirty = cols
                 out["audio"] = audio
                 dropped = int(host["n_active"][i]) - int(valid.sum())
                 out["gather_overflow"] = max(0, dropped)
                 self.gather_overflow_count += out["gather_overflow"]
                 if "iq_out" in host:
-                    iq = np.zeros((self.W, self.C, 2), np.float32)
-                    iq[:, idx[valid]] = host["iq_out"][i][:, valid]
+                    iq = self._dense_iq
+                    if iq is None or iq.shape != (self.W, self.C, 2):
+                        iq = self._dense_iq = np.zeros((self.W, self.C, 2), np.float32)
+                    else:
+                        iq[:, self._dense_iq_dirty] = 0.0
+                    iq[:, cols] = host["iq_out"][i][:, valid]
+                    self._dense_iq_dirty = cols
                     out["iq_out"] = iq
             else:
                 out["audio"] = host["audio"][i]
@@ -730,7 +752,11 @@ class Pipeline:
         host fetch of chunk n-1 (and the H2D of chunk n+1) overlaps device
         compute of chunk n — the reference decouples the same stages with
         threads (rtl_airband.cpp:1093-1112).  Call :meth:`flush` at stream
-        end to drain."""
+        end to drain.
+
+        In active-gather mode (cfg.active_slots > 0) the yielded dense
+        ``audio``/``iq_out`` arrays are REUSED between blocks — they are
+        valid until the next block is yielded; copy if retained."""
         self._ingest(raw)
 
         if not self._primed:

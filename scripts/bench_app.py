@@ -91,7 +91,12 @@ def main() -> int:
     center, fs, wave_rate = 120_000_000, 2_560_000, 16000
     specs = flagship_specs(n_channels, center, fs)
     freqs = [s.frequency for s in specs]
-    n_hot = max(4, n_channels // 256)
+    # BENCH_APP_HOT overrides the carrier count: each carrier opens its whole
+    # FFT-bin group (n_channels/512 channels) PLUS the Blackman-Harris-7
+    # mainlobe neighbours (~±2 bins above a midway threshold), so at 8192
+    # channels one carrier opens ~80-150 channels — size the hot set so the
+    # opened population stays inside active_fetch_slots
+    n_hot = int(os.environ.get("BENCH_APP_HOT", "0")) or max(4, n_channels // 256)
     hot = [int(i) for i in np.linspace(0, n_channels - 1, n_hot).astype(int)]
 
     # size the recording so the chunked dispatch consumes it EXACTLY: the

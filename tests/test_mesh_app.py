@@ -72,10 +72,21 @@ def _run(raw, mesh, chunk, depth=0, slots=0, backend="xla", interpret=False, i16
         mesh=mesh, demod_backend=backend, pallas_interpret=interpret, fetch_audio_i16=i16,
     )
     p = Pipeline(cfg, _specs())
+
+    def snap(gen):
+        # slot-mode audio/iq buffers are REUSED between blocks (Pipeline.feed
+        # contract) -- copy when retaining
+        for o in gen:
+            o = dict(o)
+            o["audio"] = np.array(o["audio"])
+            if "iq_out" in o:
+                o["iq_out"] = np.array(o["iq_out"])
+            yield o
+
     outs = []
     for i in range(0, len(raw), 128_000):
-        outs.extend(p.feed(raw[i : i + 128_000]))
-    outs.extend(p.flush())
+        outs.extend(snap(p.feed(raw[i : i + 128_000])))
+    outs.extend(snap(p.flush()))
     return p, outs
 
 

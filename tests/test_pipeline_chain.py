@@ -72,10 +72,21 @@ def _run(raw, chunk, depth, step_bytes=512_000, slots=0, i16=False):
         active_slots=slots, fetch_open_flags=True, fetch_audio_i16=i16,
     )
     p = Pipeline(cfg, _specs())
+
+    def snap(gen):
+        # slot-mode audio/iq buffers are REUSED between blocks (Pipeline.feed
+        # contract) -- copy when retaining
+        for o in gen:
+            o = dict(o)
+            o["audio"] = np.array(o["audio"])
+            if "iq_out" in o:
+                o["iq_out"] = np.array(o["iq_out"])
+            yield o
+
     outs = []
     for i in range(0, len(raw), step_bytes):
-        outs.extend(p.feed(raw[i : i + step_bytes]))
-    outs.extend(p.flush())
+        outs.extend(snap(p.feed(raw[i : i + step_bytes])))
+    outs.extend(snap(p.flush()))
     return p, outs
 
 
@@ -240,7 +251,7 @@ def test_warm_precompile_does_not_change_results():
     outs = []
     for i in range(0, len(raw), 512_000):
         outs.extend(p.feed(raw[i : i + 512_000]))
-    outs.extend(p.flush())
+    outs.extend(p.flush())  # no slots -> arrays are not reused, safe to retain
     assert len(outs) == len(base)
     for a, b in zip(base, outs):
         np.testing.assert_array_equal(np.asarray(a["audio"]), np.asarray(b["audio"]))
