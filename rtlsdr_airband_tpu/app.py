@@ -448,8 +448,10 @@ class App:
                 chrt.outputs.close()
         for name, oset in self.mixer_outputs.items():
             oset.close()
+        # final fold of fast-path meta arrays into the per-freq stats objects
+        # (callers read them after stop() even without a stats file)
+        self._sync_all_stats()
         if self.stats_writer is not None:
-            self._sync_all_stats()
             self.stats_writer.write(
                 [rt.stats for rt in self.devices],
                 [MixerStats(name=n, output_overrun_count=m.output_overrun_count, input_overrun_counts=[i.overrun_count for i in m.inputs]) for n, m in self.mixers.items()],

@@ -142,10 +142,14 @@ def _time_chunks(W: int, target: int = 512) -> int:
 
 
 def _fast_atan2(y, x):
-    """reference: rtl_airband.cpp:147-166."""
+    """reference: rtl_airband.cpp:147-166.  Select the branch's operands
+    FIRST, then do one divide: per-lane bit-identical to dividing in both
+    branches and selecting after, at half the (expensive) VPU divides."""
     yabs = jnp.abs(y)
     pos = x >= 0.0
-    angle = jnp.where(pos, _PI4 - _PI4 * (x - yabs) / (x + yabs), _PI34 - _PI4 * (x + yabs) / (yabs - x))
+    num = jnp.where(pos, x - yabs, x + yabs)
+    den = jnp.where(pos, x + yabs, yabs - x)
+    angle = jnp.where(pos, _PI4, _PI34) - _PI4 * (num / den)
     angle = jnp.where(y < 0.0, -angle, angle)
     return jnp.where((x == 0.0) & (y == 0.0), F32(0.0), angle)
 

@@ -79,6 +79,10 @@ def main() -> int:
     # ~10% of the 1-device number demonstrates fetch/compute overlap
     n_devices = int(os.environ.get("BENCH_APP_DEVICES", "1"))
     i16 = os.environ.get("BENCH_APP_I16", "0") == "1"
+    # BENCH_APP_MOT=1: per-device sink worker threads (multiple_output_threads)
+    # move the per-block UDP/tobytes host work off the block loop so it
+    # overlaps the D2H fetch wait (reference: rtl_airband.cpp:817-819)
+    mot = os.environ.get("BENCH_APP_MOT", "0") == "1"
 
     from rtlsdr_airband_tpu.utils.jaxcache import enable_persistent_cache
 
@@ -142,6 +146,7 @@ def main() -> int:
         f'fft_size = 512;\nwave_rate = {wave_rate};\n'
         f'blocks_per_dispatch = {chunk};\nactive_fetch_slots = {slots};\n'
         + ("fetch_audio_i16 = true;\n" if i16 else "")
+        + ("multiple_output_threads = true;\n" if mot else "")
         + ("multiple_demod_threads = true;\n" if n_devices > 1 else "")
         + f'devices: ( {devs} );\n'
     )

@@ -34,7 +34,7 @@ DURATION_S = 5.0
 @dataclass
 class E2EChannel:
     name: str
-    freq: int  # absolute Hz
+    freq: int  # absolute Hz (the CONFIGURED channel frequency)
     modulation: str  # 'am' | 'nfm'
     key: tuple[float, float]  # carrier-on interval (s)
     tone_hz: float  # voice tone
@@ -45,6 +45,8 @@ class E2EChannel:
     snr_threshold_db: float | None = None
     extra_conf: str = ""
     ctcss_ampl: float = 0.18  # CTCSS tone amplitude in the audio mix
+    afc: int = 0  # AFC threshold divisor (reference: channel afc option)
+    carrier_offset_hz: float = 0.0  # transmit offset from the configured freq
 
 
 # Channel plan (fs/N = 2000 Hz/bin): AM exactly on a bin; NFM 0.2 bins
@@ -67,7 +69,7 @@ CHANNELS = [
 ]
 
 
-def make_scene(seed: int = 11, noise_sigma: float = 0.004) -> np.ndarray:
+def make_scene(seed: int = 11, noise_sigma: float = 0.004, channels: list[E2EChannel] | None = None) -> np.ndarray:
     """u8 interleaved IQ bytes for the test scene."""
     from rtlsdr_airband_tpu.utils.siggen import (
         am_carrier_iq,
@@ -84,22 +86,25 @@ def make_scene(seed: int = 11, noise_sigma: float = 0.004) -> np.ndarray:
     ta = np.arange(n_aud) / audio_rate
 
     iq = complex_noise(n, noise_sigma, seed=seed)
-    for ch in CHANNELS:
+    for ch in channels if channels is not None else CHANNELS:
         audio = (0.8 * np.sin(2 * np.pi * ch.tone_hz * ta)).astype(np.float32)
         if ch.ctcss > 0:
             audio += (ch.ctcss_ampl * np.sin(2 * np.pi * ch.ctcss * ta)).astype(np.float32)
+        tx = ch.freq + ch.carrier_offset_hz - CENTER
         if ch.modulation == "am":
-            c = am_carrier_iq(SAMPLE_RATE, ch.freq - CENTER, n, audio=audio, carrier_ampl=0.22, mod_index=0.8, audio_rate=audio_rate)
+            c = am_carrier_iq(SAMPLE_RATE, tx, n, audio=audio, carrier_ampl=0.22, mod_index=0.8, audio_rate=audio_rate)
         else:
-            c = nfm_carrier_iq(SAMPLE_RATE, ch.freq - CENTER, n, audio=audio, deviation_hz=2500.0, carrier_ampl=0.22, audio_rate=audio_rate)
+            c = nfm_carrier_iq(SAMPLE_RATE, tx, n, audio=audio, deviation_hz=2500.0, carrier_ampl=0.22, audio_rate=audio_rate)
         iq += c * ((t >= ch.key[0]) & (t < ch.key[1])).astype(np.float32)
     return iq_to_u8(iq)
 
 
-def make_ref_config(filepath: str, ports: dict[str, int], speedup: float) -> str:
+def make_ref_config(filepath: str, ports: dict[str, int], speedup: float, channels: list[E2EChannel] | None = None) -> str:
     chans = []
-    for ch in CHANNELS:
+    for ch in channels if channels is not None else CHANNELS:
         opts = [f"freq = {ch.freq};", f'modulation = "{ch.modulation}";']
+        if ch.afc > 0:
+            opts.append(f"afc = {ch.afc};")
         if ch.ctcss > 0:
             opts.append(f"ctcss = {ch.ctcss};")
         if ch.bandwidth > 0:
@@ -392,6 +397,72 @@ def run_e2e(workdir: str, speedup: float = 2) -> dict[str, Comparison]:
     tpu_s16 = run_tpu(u8, as_s16=True)
     for ch in CHANNELS[:2]:  # am + nfm suffice; scene is identical
         out[f"{ch.name}_s16"] = compare(ref[ch.name], tpu_s16[ch.name])
+    return out
+
+
+# ---- AFC golden (reference: class AFC, rtl_airband.cpp:180-251) ----
+#
+# The afc channel's carrier transmits +1.6 bins (3.2 kHz at 2 kHz/bin) above
+# the configured frequency: on squelch open the hill-climb goes base -> +1
+# (power ratio decisive) -> +2, then stops (+3's delta is ~2.6x below the
+# grown threshold) — every comparison in the climb has a wide margin so the
+# decision cannot flip on channelizer f32 roundoff between implementations.
+# On key-off both sides revert to the base bin.  afc_off is the negative
+# control: same off-carrier, AFC disabled, stays on the (shoulder-lit) base
+# bin.  am anchors the lag alignment.
+AFC_CHANNELS = [
+    E2EChannel("am", CENTER + 40_000, "am", (0.5, 2.5), 400.0),
+    E2EChannel("afc", CENTER - 60_000, "am", (0.8, 3.6), 500.0, afc=4, carrier_offset_hz=3_200.0),
+    E2EChannel("afc_off", CENTER + 150_000, "am", (1.0, 4.0), 650.0, carrier_offset_hz=3_200.0),
+]
+
+
+def run_tpu_afc(u8: np.ndarray) -> tuple[dict[str, np.ndarray], list[int]]:
+    """Our pipeline + host AFCTracker loop, block-synchronous exactly like
+    the App's control-device path (chunk 1, async 0, finalize + set_bins per
+    block — app.py:_handle_block)."""
+    from rtlsdr_airband_tpu.ops.params import ChannelSpec
+    from rtlsdr_airband_tpu.runtime.control import AFCTracker
+    from rtlsdr_airband_tpu.runtime.pipeline import Pipeline, PipelineConfig
+
+    cfg = PipelineConfig(
+        sample_rate=SAMPLE_RATE, center_freq=CENTER, fft_size=FFT_SIZE,
+        wave_rate=WAVE_RATE, sample_format="u8", fullscale=127.5,
+        chunk_blocks=1, async_depth=0,
+    )
+    specs = [ChannelSpec(frequency=ch.freq, modulation=ch.modulation, afc=ch.afc) for ch in AFC_CHANNELS]
+    pipe = Pipeline(cfg, specs)
+    trackers = {
+        i: AFCTracker(base_bin=int(pipe.base_bins[i]), afc=ch.afc, fft_size=FFT_SIZE)
+        for i, ch in enumerate(AFC_CHANNELS) if ch.afc
+    }
+    blocks, bin_track = [], []
+    for out in pipe.feed(u8.tobytes()):
+        blocks.append(np.asarray(out["audio"]))
+        spectrum = np.asarray(out["spectrum_power"])
+        active = np.asarray(out["active"])
+        new_bins = np.array(pipe.user_bins)
+        for i, trk in trackers.items():
+            new_bins[i] = trk.finalize(bool(active[i]), spectrum)
+        bin_track.append(int(new_bins[next(iter(trackers))]))
+        if not np.array_equal(new_bins, pipe.user_bins):
+            pipe.set_bins(new_bins)
+    audio = np.concatenate(blocks, axis=0)
+    return {ch.name: audio[:, i].copy() for i, ch in enumerate(AFC_CHANNELS)}, bin_track
+
+
+def run_e2e_afc(workdir: str) -> dict[str, Comparison]:
+    u8 = make_scene(channels=AFC_CHANNELS)
+    ref = _run_binary(
+        u8, workdir,
+        lambda iqfile, ports: make_ref_config(iqfile, ports, 2, channels=AFC_CHANNELS),
+        [ch.name for ch in AFC_CHANNELS],
+    )
+    tpu, bin_track = run_tpu_afc(u8)
+    out = {ch.name: compare(ref[ch.name], tpu[ch.name]) for ch in AFC_CHANNELS}
+    base = int(bin_track[0]) if bin_track else -1
+    out["afc"].extras["bin_track"] = sorted(set(bin_track))
+    out["afc"].extras["retuned_blocks"] = sum(1 for b in bin_track if b != base)
     return out
 
 

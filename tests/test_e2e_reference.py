@@ -148,3 +148,36 @@ def test_mixer_stereo_matches_reference_binary(e2e_mixer_results, name):
     assert c.snr_db >= 50.0, c
     assert c.gating_agreement == 1.0, c  # every active ref batch matched in order
     assert c.extras["batches_active"] >= 8, c  # >= 1 s of reference audio pinned
+
+
+@pytest.fixture(scope="module")
+def e2e_afc_results(tmp_path_factory):
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "golden"))
+    try:
+        from e2e_ref import run_e2e_afc
+    finally:
+        sys.path.pop(0)
+    return run_e2e_afc(str(tmp_path_factory.mktemp("e2e_afc")))
+
+
+def test_afc_matches_reference_binary(e2e_afc_results):
+    """AFC golden vs the binary (reference: class AFC hill-climb,
+    rtl_airband.cpp:180-251): a carrier keyed +1.6 bins off the configured
+    frequency makes both sides retune base -> base+4 on squelch open (each
+    climb comparison has a >= 3.3x power margin — measured in
+    e2e_ref.py's AFC section — so the decision cannot flip on channelizer
+    roundoff) and revert on key-off.  Audio must match to float roundoff
+    THROUGH the retune, which pins the whole loop: spectrum tap -> host
+    hill-climb -> set_bins retap -> demod at the moved bin."""
+    c = e2e_afc_results["afc"]
+    assert abs(c.lag) <= 2, c
+    assert c.snr_db >= 80.0, c  # measured: 131.4 dB
+    assert c.gating_agreement >= 0.999, c  # measured: 1.0
+    assert c.extras["retuned_blocks"] >= 10, c  # the AFC really engaged
+    assert len(c.extras["bin_track"]) >= 2, c  # base + retuned bin
+    # control channels: alignment anchor + afc-disabled off-carrier
+    assert e2e_afc_results["am"].snr_db >= 80.0
+    off = e2e_afc_results["afc_off"]
+    assert off.snr_db >= 80.0 and off.gating_agreement >= 0.999, off
