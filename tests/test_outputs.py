@@ -791,3 +791,30 @@ def test_pulse_async_mono_positions(monkeypatch):
     assert fake.corks and fake.corks[0][1] == 0
     p.close()
     assert not p.available and fake.ctx_disconnected == 1
+
+
+def test_pulse_async_ctx_failure_tears_down_for_reconnect(monkeypatch):
+    """reference: pulse_ctx_state_cb -> pulse_shutdown on FAILED/TERMINATED
+    (pulse.cpp): a daemon failure must null the context via full teardown so
+    the 10 s output check's reconnect() rebuilds — leaving the dead context
+    set would make the output silently dead for the rest of the process
+    (round-3 advisory, pulse_async.py:_on_ctx_state)."""
+    import numpy as np
+
+    fake = _FakeAsyncPulse()
+    pmod = _make_async_pulse(monkeypatch, fake)
+    p = pmod.PulseAsyncOutput(16000, stereo=False)
+    assert p.context is not None and p.left is not None
+
+    # PulseAudio daemon dies: deliver PA_CONTEXT_FAILED on the mainloop
+    fake.ctx_state = 5  # FAILED
+    p._on_ctx_state(p.context, None)
+    assert p.context is None and p.left is None  # fully torn down
+    assert fake.ctx_disconnected == 1
+
+    # daemon comes back: the output check's reconnect() must rebuild
+    fake.ctx_state = 0
+    p.reconnect()
+    assert p.context is not None and p.left is not None
+    p.write(np.zeros(4, np.float32))
+    assert len(fake.writes) == 1
