@@ -364,6 +364,10 @@ class App:
                 from .inputs.rtlsdr import DEFAULT_BUFLEN
 
                 kwargs["buf_size"] = d.buffers * DEFAULT_BUFLEN
+            if d.type == "mirisdr" and d.num_buffers > 0:
+                # reference: num_buffers libusb buffers of 320 kB
+                # (input-mirisdr.cpp:200-206, default bufcnt 10)
+                kwargs["buf_size"] = d.num_buffers * 320_000
             if d.type == "soapysdr":
                 kwargs["device_string"] = d.device_string
                 kwargs["channel"] = d.channel

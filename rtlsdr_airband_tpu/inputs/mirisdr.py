@@ -54,10 +54,24 @@ class MiriSdrInput(Input):
         self.correction_hz = correction
         self.dev = ctypes.c_void_p()
 
+    def _find_by_serial(self) -> int:
+        """reference: mirisdr_find_device_by_serial (input-mirisdr.cpp:72-86)."""
+        n = _LIB.mirisdr_get_device_count()
+        m = ctypes.create_string_buffer(256)
+        p = ctypes.create_string_buffer(256)
+        s = ctypes.create_string_buffer(256)
+        for i in range(n):
+            _LIB.mirisdr_get_device_usb_strings(i, m, p, s)
+            if s.value.decode() == self.serial:
+                return i
+        raise RuntimeError(f"no MiriSDR device with serial {self.serial!r}")
+
     def init(self) -> None:
         if _LIB is None:
             self.state = InputState.FAILED
             raise RuntimeError("libmirisdr not found — mirisdr input unavailable")
+        if self.serial is not None:
+            self.index = self._find_by_serial()
         if _LIB.mirisdr_open(ctypes.byref(self.dev), self.index) != 0:
             self.state = InputState.FAILED
             raise RuntimeError(f"mirisdr_open({self.index}) failed")

@@ -143,6 +143,7 @@ class DeviceConfig:
     index: int = 0
     serial: str | None = None
     buffers: int = 0  # rtlsdr USB buffer count (input-rtlsdr.cpp:215-221)
+    num_buffers: int = 0  # mirisdr libusb buffer count (input-mirisdr.cpp:200-206; default 10)
     device_string: str = ""  # soapysdr device args (input-soapysdr.cpp:151-155)
     antenna: str = ""  # soapysdr antenna selection (input-soapysdr.cpp:187)
     channel: int = 0  # soapysdr RX channel index (input-soapysdr.cpp:184)
@@ -341,6 +342,7 @@ def _parse_device(d: dict, idx: int, fft_size: int, default_tau: float | None) -
         index=int(d.get("index", 0)),
         serial=d.get("serial"),
         buffers=int(d.get("buffers", 0)),
+        num_buffers=int(d.get("num_buffers", 0)),
         device_string=str(d.get("device_string", "")),
         antenna=str(d.get("antenna", "")),
         channel=int(d.get("channel", 0)),
@@ -357,6 +359,9 @@ def _parse_device(d: dict, idx: int, fft_size: int, default_tau: float | None) -
     if dev.type == "soapysdr" and not dev.device_string:
         # reference: mandatory parameter (input-soapysdr.cpp:151-155)
         raise ConfigError(f"{where}: soapysdr input needs 'device_string'")
+    if "num_buffers" in d and dev.num_buffers < 1:
+        # reference: input-mirisdr.cpp:200-206
+        raise ConfigError(f"{where}: num_buffers must be greater than 0")
 
     chans = d.get("channels")
     if not isinstance(chans, list) or not chans:

@@ -175,6 +175,38 @@ class TestDriverConfigPassthrough:
         )
         assert cfg.devices[0].buffers == 20
 
+    def test_mirisdr_num_buffers_option(self, monkeypatch, tmp_path):
+        """reference: input-mirisdr.cpp:200-206 — num_buffers sizes the
+        libusb buffer pool (320 kB each); <1 is a config error."""
+        import pytest as _pytest
+
+        from rtlsdr_airband_tpu import app as app_mod
+        from rtlsdr_airband_tpu.inputs.filesrc import FileInput
+        from rtlsdr_airband_tpu.runtime.config import ConfigError, loads_config
+
+        base = (
+            'devices: ( {{ type = "mirisdr"; index = 0; num_buffers = {n}; gain = 28.0; '
+            'centerfreq = 120.0; sample_rate = 2560000; channels: ( {{ freq = 120.4; '
+            'outputs: ( {{ type = "udp_stream"; dest_address = "127.0.0.1"; dest_port = 4005; }} ); }} ); }} );'
+        )
+        cfg = loads_config(base.format(n=16))
+        assert cfg.devices[0].num_buffers == 16
+        with _pytest.raises(ConfigError, match="num_buffers"):
+            loads_config(base.format(n=0))
+
+        calls = []
+        iq = tmp_path / "dummy2.cu8"
+        iq.write_bytes(b"\x80" * 4096)
+
+        def fake_input_new(typ, **kw):
+            calls.append((typ, kw))
+            return FileInput(filepath=str(iq), sample_rate=kw["sample_rate"], centerfreq=kw["centerfreq"])
+
+        monkeypatch.setattr(app_mod, "input_new", fake_input_new)
+        app_mod.App(cfg)
+        (t0, kw0), = calls
+        assert t0 == "mirisdr" and kw0["buf_size"] == 16 * 320_000
+
     def test_app_passes_driver_kwargs(self, monkeypatch, tmp_path):
         """App._build_device forwards the parsed driver options to
         input_new (the reference plumbs them via parse_config vtable)."""
