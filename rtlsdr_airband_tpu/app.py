@@ -405,10 +405,24 @@ class App:
 
     # -------------------------------------------------------------------- run
 
-    def start(self) -> None:
+    def start(self, gate_timeout: float = 5.0) -> None:
         for rt in self.devices:
             rt.input.init()
             rt.input.start()
+        # all-devices-up gate (reference: rtl_airband.cpp:1024-1032 — wait
+        # up to 5 s for every input to reach RUNNING, fatal otherwise).
+        # STOPPED/FAILED also count as "came up": an unpaced file input may
+        # legitimately finish its whole stream inside the gate window.
+        def up(rt):
+            return rt.input.state in (InputState.RUNNING, InputState.STOPPED, InputState.FAILED)
+
+        deadline = time.monotonic() + gate_timeout
+        while not all(up(rt) for rt in self.devices) and time.monotonic() < deadline:
+            time.sleep(0.1)
+        n_down = sum(0 if up(rt) else 1 for rt in self.devices)
+        if n_down:
+            log(LOG_WARNING, f"{n_down} device(s) failed to initialize - aborting")
+            raise RuntimeError(f"{n_down} device(s) failed to initialize")
         if self.cfg.multiple_demod_threads and len(self.devices) > 1:
             self._demod_workers = [DemodWorker(self, rt) for rt in self.devices]
             for w in self._demod_workers:

@@ -425,3 +425,35 @@ devices: ({{
     assert fast_stats == slow_stats
     assert len(fast_mix) == len(slow_mix) > 1000
     assert fast_mix == slow_mix
+
+
+def test_startup_gate_aborts_on_dead_device(tmp_path, monkeypatch):
+    """reference: rtl_airband.cpp:1024-1032 — wait up to 5 s for every
+    input to come up, fatal when one never does."""
+    import pytest as _pytest
+
+    from rtlsdr_airband_tpu import app as app_mod
+    from rtlsdr_airband_tpu.inputs.base import InputState
+    from rtlsdr_airband_tpu.inputs.filesrc import FileInput
+
+    iq = tmp_path / "iq.bin"
+    write_iq(str(iq), secs=0.5)
+
+    class StuckInput(FileInput):
+        def start(self):  # rx thread never launches -> state stays INITIALIZED
+            pass
+
+    def fake_input_new(typ, **kw):
+        return StuckInput(filepath=str(iq), sample_rate=kw["sample_rate"], centerfreq=kw["centerfreq"])
+
+    monkeypatch.setattr(app_mod, "input_new", fake_input_new)
+    cfg = loads_config(
+        f'devices: ( {{ type = "file"; filepath = "{iq}"; sample_format = "u8"; '
+        'sample_rate = 2560000; centerfreq = 120.0; speedup_factor = 0.0; '
+        'channels: ( { freq = 120.4; outputs: ( { type = "udp_stream"; '
+        'dest_address = "127.0.0.1"; dest_port = 4100; } ); } ); } );'
+    )
+    app = app_mod.App(cfg)
+    assert app.devices[0].input.state == InputState.UNKNOWN
+    with _pytest.raises(RuntimeError, match="failed to initialize"):
+        app.start(gate_timeout=0.3)
