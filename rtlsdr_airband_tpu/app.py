@@ -217,6 +217,8 @@ class DeviceRuntime:
     activity_accum: np.ndarray | None = None  # [C] open-block counter
     block_meta: dict | None = None  # last block's meta arrays (lazy stats)
     zero_block: np.ndarray | None = None  # shared [W] silence buffer
+    zero_iq: np.ndarray | None = None  # shared [W] complex64 silence buffer
+    iq_idle_set: frozenset = frozenset()  # channels with continuous iq_files
 
 
 class App:
@@ -401,6 +403,14 @@ class App:
             rt.idle_tick_idx = np.array(idle, np.int64)
             rt.activity_accum = np.zeros(len(chrts), np.int64)
             rt.zero_block = np.zeros(self.wave_rate // 8, np.float32)
+            # continuous IQ file sinks write zeroed IQ while squelch is
+            # closed (the slow path passes the dense iq column and
+            # OutputSet.process zeroes it, dispatch.py:107-110; the fast
+            # path must pass SOME iq buffer or process() skips iq_files)
+            rt.zero_iq = np.zeros(self.wave_rate // 8, np.complex64)
+            rt.iq_idle_set = frozenset(
+                ci for ci, c in enumerate(chrts) if any(fo.continuous for fo in c.outputs.iq_files)
+            )
         return rt
 
     # -------------------------------------------------------------------- run
@@ -410,14 +420,27 @@ class App:
             rt.input.init()
             rt.input.start()
         # all-devices-up gate (reference: rtl_airband.cpp:1024-1032 — wait
-        # up to 5 s for every input to reach RUNNING, fatal otherwise).
-        # STOPPED/FAILED also count as "came up": an unpaced file input may
-        # legitimately finish its whole stream inside the gate window.
+        # up to 5 s for every input to reach RUNNING; count_devices_running
+        # counts only INPUT_RUNNING, so any hardware device that FAILS inside
+        # the window is fatal, immediately).  STOPPED (and, for file inputs
+        # only, FAILED — EOF drives the file driver to FAILED per
+        # input-file.cpp:104-108) counts as "came up": an unpaced file input
+        # may legitimately finish its whole stream inside the gate window.
         def up(rt):
-            return rt.input.state in (InputState.RUNNING, InputState.STOPPED, InputState.FAILED)
+            ok = (InputState.RUNNING, InputState.STOPPED)
+            if rt.cfg.type == "file":
+                ok = ok + (InputState.FAILED,)
+            return rt.input.state in ok
+
+        def hard_failed(rt):
+            return rt.cfg.type != "file" and rt.input.state == InputState.FAILED
 
         deadline = time.monotonic() + gate_timeout
-        while not all(up(rt) for rt in self.devices) and time.monotonic() < deadline:
+        while time.monotonic() < deadline:
+            if any(hard_failed(rt) for rt in self.devices):
+                break
+            if all(up(rt) for rt in self.devices):
+                break
             time.sleep(0.1)
         n_down = sum(0 if up(rt) else 1 for rt in self.devices)
         if n_down:
@@ -706,6 +729,8 @@ class App:
                 continue
             chrt = rt.channels[ci]
             kwargs = dict(has_signal=False, frequency=int(rt.freq0[ci]))
+            if ci in rt.iq_idle_set:
+                kwargs["iq"] = rt.zero_iq
             if rt.sink_worker is not None:
                 sink_jobs.append((chrt.outputs.process, (rt.zero_block,), kwargs))
             else:

@@ -360,6 +360,42 @@ def pipeline_chain(
     return jax.lax.scan(body, state, jnp.arange(k_blocks))
 
 
+_WARM_THREADS: list = []  # all live flush-warm threads (pruned on track)
+_WARM_NOTICE_REGISTERED = False
+
+
+def _track_warm_thread(t) -> None:
+    """Register t so that, if the interpreter exits while a warm compile is
+    still running (Pipeline.close() skipped — exception, Ctrl-C), a NOTICE
+    explains the stall before threading._shutdown blocks joining it.
+    threading._register_atexit callbacks run at the START of
+    threading._shutdown, i.e. BEFORE the non-daemon join (a plain atexit
+    hook would fire only after the join completes — too late to matter)."""
+    global _WARM_NOTICE_REGISTERED
+    _WARM_THREADS[:] = [w for w in _WARM_THREADS if w.is_alive()]
+    _WARM_THREADS.append(t)
+    if not _WARM_NOTICE_REGISTERED:
+        import threading
+
+        def notice():
+            alive = [w for w in _WARM_THREADS if w.is_alive()]
+            if alive:
+                from ..logutil import LOG_NOTICE, log
+
+                log(
+                    LOG_NOTICE,
+                    f"exit waiting for {len(alive)} background warm-compile thread(s) "
+                    "to finish (up to minutes through a remote TPU tunnel); call "
+                    "Pipeline.close()/App.stop() before exit to avoid this",
+                )
+
+        try:
+            threading._register_atexit(notice)
+            _WARM_NOTICE_REGISTERED = True
+        except Exception:  # private API; degrade to silence, never break
+            _WARM_NOTICE_REGISTERED = True
+
+
 @dataclass
 class PipelineConfig:
     sample_rate: int = 2_560_000
@@ -670,9 +706,13 @@ class Pipeline:
         # join-everything shutdown (rtl_airband.cpp:1114-1158); close() is
         # our equivalent, and non-daemon means even an unclosed Pipeline
         # cannot crash process exit (threading._shutdown joins it first).
+        # If close() is skipped (exception, Ctrl-C) that implicit join can
+        # stall exit for the full compile (~minutes through the axon
+        # tunnel) — _warm_exit_notice explains why instead of hanging mute.
         self._warm_threads = [t for t in self._warm_threads if t.is_alive()]
         t = threading.Thread(target=work, daemon=False, name="flush-warm")
         self._warm_threads.append(t)
+        _track_warm_thread(t)
         t.start()
 
     def close(self) -> None:

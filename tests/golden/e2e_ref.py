@@ -232,18 +232,37 @@ def run_tpu(u8: np.ndarray, fm_quadri: bool = False, as_s16: bool = False, chann
     ``channelizer``/``precision`` override the channelizer variant for the
     CTCSS-isolation experiment (scripts/e2e_ctcss_isolation.py): precision
     is a jax.lax.Precision name applied to the matmul-DFT taps; the jit
-    caches are cleared so the override takes effect mid-process.
+    caches are cleared so the override takes effect mid-process, and the
+    prior module default is restored (with another cache clear) on the way
+    out so later same-process callers don't inherit the override.
     """
     from rtlsdr_airband_tpu.ops.params import ChannelSpec
     from rtlsdr_airband_tpu.runtime.pipeline import Pipeline, PipelineConfig
 
+    saved_precision = None
     if precision is not None:
         import jax
 
         from rtlsdr_airband_tpu.ops import channelizer as chmod
 
+        saved_precision = chmod.MATMUL_PRECISION
         chmod.MATMUL_PRECISION = getattr(jax.lax.Precision, precision)
         jax.clear_caches()  # MATMUL_PRECISION is read at trace time
+    try:
+        return _run_tpu_inner(u8, fm_quadri, as_s16, channelizer)
+    finally:
+        if saved_precision is not None:
+            import jax
+
+            from rtlsdr_airband_tpu.ops import channelizer as chmod
+
+            chmod.MATMUL_PRECISION = saved_precision
+            jax.clear_caches()
+
+
+def _run_tpu_inner(u8: np.ndarray, fm_quadri: bool, as_s16: bool, channelizer: str) -> dict[str, np.ndarray]:
+    from rtlsdr_airband_tpu.ops.params import ChannelSpec
+    from rtlsdr_airband_tpu.runtime.pipeline import Pipeline, PipelineConfig
 
     if as_s16:
         s16 = ((u8.astype(np.int32) - 128) * 256 + 128).astype(np.int16)

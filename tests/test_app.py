@@ -378,6 +378,7 @@ devices: ({{
   channels: (
     {{ freq = 120.4;
        outputs: ( {{ type = "udp_stream"; dest_address = "127.0.0.1"; dest_port = {port}; }},
+                  {{ type = "rawfile"; directory = "{outdir}"; filename_template = "iq0"; continuous = true; }},
                   {{ type = "mixer"; name = "mx"; }} ); }},
     {{ freq = 120.7;
        outputs: ( {{ type = "udp_stream"; dest_address = "127.0.0.1"; dest_port = {port + 1}; }} ); }}
@@ -413,18 +414,24 @@ devices: ({{
         # ring-overflow count is timing-dependent (unpaced file input floods
         # the ring during the first compile) — not part of the equivalence
         stats = "\n".join(l for l in open(stats_path).read().splitlines() if not l.startswith("buffer_overflow_count{"))
-        mix_files = sorted((outdir).iterdir()) if outdir.exists() else []
-        mix_bytes = mix_files[0].read_bytes() if mix_files else b""
-        return audio, stats, mix_bytes
+        files = sorted((outdir).iterdir()) if outdir.exists() else []
+        mix_bytes = b"".join(f.read_bytes() for f in files if f.name.startswith("mix"))
+        iq_bytes = b"".join(f.read_bytes() for f in files if f.name.startswith("iq0"))
+        return audio, stats, mix_bytes, iq_bytes
 
-    fast_audio, fast_stats, fast_mix = run_once(force_slow=False)
-    slow_audio, slow_stats, slow_mix = run_once(force_slow=True)
+    fast_audio, fast_stats, fast_mix, fast_iq = run_once(force_slow=False)
+    slow_audio, slow_stats, slow_mix, slow_iq = run_once(force_slow=True)
 
     assert len(fast_audio) == len(slow_audio) and len(fast_audio) > 4000
     np.testing.assert_array_equal(fast_audio, slow_audio)
     assert fast_stats == slow_stats
     assert len(fast_mix) == len(slow_mix) > 1000
     assert fast_mix == slow_mix
+    # the continuous IQ file must contain every block — including
+    # closed-squelch silence blocks written by the fast path's idle tick
+    # (round-4 advisory: the fast path skipped iq_files while closed)
+    assert len(fast_iq) == len(slow_iq) > 1000
+    assert fast_iq == slow_iq
 
 
 def test_startup_gate_aborts_on_dead_device(tmp_path, monkeypatch):
@@ -457,3 +464,43 @@ def test_startup_gate_aborts_on_dead_device(tmp_path, monkeypatch):
     assert app.devices[0].input.state == InputState.UNKNOWN
     with _pytest.raises(RuntimeError, match="failed to initialize"):
         app.start(gate_timeout=0.3)
+
+
+def test_startup_gate_hw_failure_is_fatal_immediately(tmp_path, monkeypatch):
+    """A hardware device whose rx thread FAILS inside the gate window aborts
+    at once (reference: count_devices_running counts only INPUT_RUNNING,
+    rtl_airband.cpp:1024-1032) — FAILED must not count as 'came up' for
+    non-file devices (round-4 advisory).  File inputs keep the EOF->FAILED
+    completion exemption (input-file.cpp:104-108)."""
+    import time as _time
+
+    import pytest as _pytest
+
+    from rtlsdr_airband_tpu import app as app_mod
+    from rtlsdr_airband_tpu.inputs.base import InputState
+    from rtlsdr_airband_tpu.inputs.filesrc import FileInput
+
+    iq = tmp_path / "iq.bin"
+    write_iq(str(iq), secs=0.5)
+
+    class FailingInput(FileInput):
+        def start(self):  # rx thread dies instantly -> FAILED
+            self.state = InputState.FAILED
+
+    def fake_input_new(typ, **kw):
+        assert typ == "rtlsdr"
+        return FailingInput(filepath=str(iq), sample_rate=kw["sample_rate"], centerfreq=kw["centerfreq"])
+
+    monkeypatch.setattr(app_mod, "input_new", fake_input_new)
+    cfg = loads_config(
+        'devices: ( { type = "rtlsdr"; index = 0; gain = 25.4; '
+        'sample_rate = 2560000; centerfreq = 120.0; '
+        'channels: ( { freq = 120.4; outputs: ( { type = "udp_stream"; '
+        'dest_address = "127.0.0.1"; dest_port = 4101; } ); } ); } );'
+    )
+    app = app_mod.App(cfg)
+    t0 = _time.monotonic()
+    with _pytest.raises(RuntimeError, match="failed to initialize"):
+        app.start(gate_timeout=30.0)
+    # fatal immediately, not after the 30 s window
+    assert _time.monotonic() - t0 < 5.0
