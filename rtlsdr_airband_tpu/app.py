@@ -336,6 +336,8 @@ class App:
             async_depth=0 if control_device else 1,
             active_slots=self.cfg.active_fetch_slots,
             fetch_audio_i16=self.cfg.fetch_audio_i16,
+            fetch_audio_fmt=self.cfg.fetch_audio_fmt,
+            suppress_fade_tails=self.cfg.suppress_fade_tails,
             mesh=self.mesh,
             demod_backend=self.cfg.demod_backend,
         )

@@ -190,6 +190,20 @@ class GlobalConfig:
     # (~90 dB quantization SNR; audio is already clamped to +-1.0) — halves
     # the dominant transfer.  Downstream sinks still see float32.
     fetch_audio_i16: bool = False
+    # TPU fetch knob: audio wire format — '' (use fetch_audio_i16), 'f32',
+    # 'i16', or 'i8bf' (per-channel-per-block block-float int8: quarter of
+    # f32's bytes at ~49 dB SNR vs the block peak).
+    fetch_audio_fmt: str = ""
+    # TPU fetch knob (needs active_fetch_slots): don't ship channels whose
+    # block audio is only the deterministic closed-squelch tail (AM 0.94^i
+    # fade / 0.5 startup tail) — the host synthesizes it instead.  Frees
+    # gather slots and removes the block-0 startup flood.
+    suppress_fade_tails: bool = False
+    # TPU fetch knob: adaptive fetch economy — 'off' or a ladder preset
+    # ('auto'): the app pre-warms neighbor (slots, fmt) programs and shifts
+    # between them as measured fetch throughput / slot overflow drifts
+    # (runtime/economy.py); every shift logs a NOTICE.
+    fetch_economy: str = "off"
     # Multi-chip mesh (reference analog: multiple_demod_threads device-data
     # parallelism, rtl_airband.cpp:1052-1090 — here ONE jitted program spans
     # a ('time', 'chan') jax.sharding.Mesh; the channelizer is overlap-save
@@ -430,6 +444,11 @@ def parse_config(doc: dict) -> GlobalConfig:
                 if o.type == "mixer" and o.name not in mixers:
                     raise ConfigError(f"unknown mixer {o.name!r}")
 
+    if str(doc.get("fetch_audio_fmt", "")) not in ("", "f32", "i16", "i8bf"):
+        raise ConfigError(f"invalid fetch_audio_fmt {doc.get('fetch_audio_fmt')!r} (f32|i16|i8bf)")
+    if str(doc.get("fetch_economy", "off")) not in ("off", "auto"):
+        raise ConfigError(f"invalid fetch_economy {doc.get('fetch_economy')!r} (off|auto)")
+
     return GlobalConfig(
         devices=devices,
         mixers=mixers,
@@ -442,6 +461,9 @@ def parse_config(doc: dict) -> GlobalConfig:
         blocks_per_dispatch=max(1, int(doc.get("blocks_per_dispatch", 1))),
         active_fetch_slots=max(0, int(doc.get("active_fetch_slots", 0))),
         fetch_audio_i16=bool(doc.get("fetch_audio_i16", False)),
+        fetch_audio_fmt=str(doc.get("fetch_audio_fmt", "")),
+        suppress_fade_tails=bool(doc.get("suppress_fade_tails", False)),
+        fetch_economy=str(doc.get("fetch_economy", "off")),
         mesh_devices=max(0, int(doc.get("mesh_devices", 0))),
         mesh_time_shards=max(0, int(doc.get("mesh_time_shards", 0))),
         demod_backend=str(doc.get("demod_backend", "auto")),

@@ -208,7 +208,7 @@ META_F = ("signal_level", "noise_level", "squelch_level")  # f32 [C] gauges
 META_I = ("open_count", "flappy_count", "ctcss_found", "ctcss_not_found")  # i32 [C] counters
 
 
-@partial(jax.jit, static_argnames=("k_blocks", "active_slots", "with_flags", "audio_i16") + _PIPELINE_STATICS)
+@partial(jax.jit, static_argnames=("k_blocks", "active_slots", "with_flags", "audio_fmt", "suppress_fade_tails") + _PIPELINE_STATICS)
 def pipeline_chain(
     x: jax.Array,  # flat raw [(2·)L_total] or pairs [L_total, 2] covering k_blocks overlapping blocks
     bins: jax.Array,
@@ -234,7 +234,8 @@ def pipeline_chain(
     with_flags: bool = False,
     mesh=None,
     pallas_interpret: bool = False,
-    audio_i16: bool = False,
+    audio_fmt: str = "f32",
+    suppress_fade_tails: bool = False,
 ):
     """Chain ``k_blocks`` streaming blocks in ONE dispatch (lax.scan threading
     the demod state), amortizing the per-call tunnel RTT — the production
@@ -265,6 +266,24 @@ def pipeline_chain(
     (``n_active``, for overflow accounting).  Closed channels reconstruct as
     silence on host.  ``with_flags`` additionally ships the per-sample
     [W, C] open_flags (diagnostic only — nothing in the app consumes it).
+
+    ``audio_fmt`` selects the audio wire format of the device->host fetch
+    (the dominant transfer at production channel counts — CLAUDE.md: the
+    axon tunnel runs ~27 MB/s D2H): 'f32' (dense float), 'i16' (linear
+    int16, ~90 dB quantization SNR, half the bytes), or 'i8bf' (block-float:
+    int8 mantissas + one f32 scale per channel-slot per block, ~49 dB SNR
+    vs the block peak, quarter the bytes).  ``Pipeline._to_host`` restores
+    float transparently by dtype, so sinks always see float32.
+
+    ``suppress_fade_tails`` (active-gather mode only): channels whose block
+    audio is ONLY the deterministic squelch-closed tail — the AM
+    squelch-close 0.94^i fade-out (reference: rtl_airband.cpp:542-546) or
+    the 0.5-initialized startup tail (config.cpp:315) — are not shipped at
+    all; the host reconstructs the tail from the channel's last shipped
+    sample (``Pipeline._to_host``).  NFM channels closed within the last
+    ~AGC_EXTRA samples still ship one block (their tail is real delayed
+    audio, not a synthesizable fade).  Frees gather slots and removes the
+    block-0 whole-population startup flood from the slot competition.
     """
     need = block_input_len(n_frames, hop, fft_size)
     step = n_frames * hop
@@ -278,6 +297,7 @@ def pipeline_chain(
         from jax.sharding import NamedSharding, PartitionSpec as P
 
     def body(st, xk):
+        st_in = st  # entry state: fade-tail suppression reads pre-block FSM fields
         st, out = _pipeline_block_impl(
             xk if mesh is not None else get_block(xk), bins, window, params, st,
             hop=hop, fft_size=fft_size, n_frames=n_frames, use_fft=use_fft,
@@ -322,7 +342,23 @@ def pipeline_chain(
             # truncate every transmission's fade-out.  Squelch-open channels
             # outrank fade-tail-only ones when slots are scarce (top_k is
             # stable: ties resolve to ascending channel index).
-            score = out["active"].astype(jnp.int32) * 2 + (jnp.max(jnp.abs(out["audio"]), axis=0) > 0.0).astype(jnp.int32)
+            nonzero = jnp.max(jnp.abs(out["audio"]), axis=0) > 0.0
+            if suppress_fade_tails:
+                # a closed channel's block audio lives ONLY in its first
+                # AGC_EXTRA emitted samples (the carried waveout tail —
+                # everything later is this block's scan output, which is 0
+                # while closed).  It is host-synthesizable EXCEPT when the
+                # tail holds real delayed audio: an NFM channel (no fade
+                # rewrite) that closed within the last ~AGC_EXTRA samples.
+                # closed_sample_count at block ENTRY measures exactly that;
+                # open_count==0 excludes the never-opened startup tail
+                # (pure 0.5 prefix — synthesized from the known init).
+                csc, ocnt, nfm = st_in.closed_sample_count, st_in.open_count, params.is_nfm
+                if inv_perm is not None:
+                    csc, ocnt, nfm = csc[inv_perm], ocnt[inv_perm], nfm[inv_perm]
+                must_ship = nfm & (ocnt > 0) & (csc < AGC_EXTRA + 2)
+                nonzero = nonzero & (out["active"] | must_ship)
+            score = out["active"].astype(jnp.int32) * 2 + nonzero.astype(jnp.int32)
             vals, idx = jax.lax.top_k(score, slots)
             valid = vals > 0
             idx = jnp.where(valid, idx, -1).astype(jnp.int32)
@@ -344,13 +380,23 @@ def pipeline_chain(
                     packed["iq_out"] = repl(packed["iq_out"])
         elif with_iq:
             packed["iq_out"] = out["iq_out"]
-        if audio_i16:
+        if audio_fmt == "i16":
             # ship audio as int16 (audio is already NaN-scrubbed and clamped
             # to +-1.0 per the reference's LAME requirement,
             # rtl_airband.cpp:594-604): halves the device->host bytes of the
             # dominant fetch at ~90 dB quantization SNR.  _to_host restores
             # float by dtype, so nothing downstream changes.
             packed["audio"] = jnp.clip(jnp.round(packed["audio"] * 32767.0), -32768.0, 32767.0).astype(jnp.int16)
+        elif audio_fmt == "i8bf":
+            # block-float: one f32 scale per channel column per block + int8
+            # mantissas — quarter of f32's bytes.  SNR is ~49 dB vs each
+            # channel's own block peak (8-bit quantization), well above
+            # voice-channel noise floors; exact zeros stay exact.
+            a = packed["audio"]
+            scale = jnp.max(jnp.abs(a), axis=0)  # [S or C]
+            q = jnp.round(a * jnp.where(scale > 0.0, np.float32(127.0) / scale, 0.0)[None, :])
+            packed["audio"] = q.astype(jnp.int8)
+            packed["audio_scale"] = scale * np.float32(1.0 / 127.0)
         if with_afc:
             packed["spectrum_power"] = out["spectrum_power"]
         return st, packed
@@ -412,7 +458,9 @@ class PipelineConfig:
     async_depth: int = 0  # in-flight chunks before feed() yields (0 = sync)
     active_slots: int = 0  # >0: fetch only open channels' audio (S slots)
     fetch_open_flags: bool = False  # ship per-sample [W, C] flags (diagnostic)
-    fetch_audio_i16: bool = False  # ship audio as int16 (half the D2H bytes)
+    fetch_audio_i16: bool = False  # legacy alias for fetch_audio_fmt='i16'
+    fetch_audio_fmt: str = ""  # '' | 'f32' | 'i16' | 'i8bf' (see pipeline_chain)
+    suppress_fade_tails: bool = False  # host-synthesize closed-channel tails
     # multi-chip (reference analog: multiple_demod_threads device-data
     # parallelism, rtl_airband.cpp:1052-1090 — here one jit program spans a
     # ('time', 'chan') device mesh instead):
@@ -427,6 +475,10 @@ class PipelineConfig:
     @property
     def wave_batch(self) -> int:
         return self.wave_rate // 8
+
+    @property
+    def audio_fmt(self) -> str:
+        return self.fetch_audio_fmt or ("i16" if self.fetch_audio_i16 else "f32")
 
 
 class Pipeline:
@@ -479,6 +531,14 @@ class Pipeline:
         self._dense_dirty: np.ndarray = np.zeros(0, np.int64)
         self._dense_iq: np.ndarray | None = None
         self._dense_iq_dirty: np.ndarray = np.zeros(0, np.int64)
+        # fade-tail suppression host state (cfg.suppress_fade_tails): per
+        # channel, the last emitted sample of the most recent SHIPPED block
+        # (0 = nothing pending) + the one-time startup-prefix flag; the
+        # synthesis factors 0.94^i are computed exactly as the device's
+        # fade kernel computes them (ops/demod.py::apply_fade_and_tail)
+        self._tail_pending = np.zeros(self.C, np.float32)
+        self._tail_startup = True
+        self._pow94 = np.power(np.float32(0.94), np.arange(1, AGC_EXTRA, dtype=np.float32))
 
         self._prime_len = (self.A - 1) * self.hop + self.N
         self._block_need = self.W * self.hop  # new samples consumed per block
@@ -576,7 +636,8 @@ class Pipeline:
             fullscale=float(self.cfg.fullscale),
             active_slots=max(0, int(self.cfg.active_slots)),
             with_flags=bool(self.cfg.fetch_open_flags),
-            audio_i16=bool(self.cfg.fetch_audio_i16),
+            audio_fmt=self.cfg.audio_fmt,
+            suppress_fade_tails=bool(self.cfg.suppress_fade_tails) and int(self.cfg.active_slots) > 0,
             demod_backend=self.cfg.demod_backend,
             mesh=self.mesh,
             pallas_interpret=bool(self.cfg.pallas_interpret),
@@ -736,6 +797,8 @@ class Pipeline:
         host = jax.device_get(outs)
         if host["audio"].dtype == np.int16:  # i16 fetch -> restore float
             host = dict(host, audio=host["audio"].astype(np.float32) * (1.0 / 32767.0))
+        elif host["audio"].dtype == np.int8:  # block-float fetch -> restore
+            host = dict(host, audio=host["audio"].astype(np.float32) * host["audio_scale"][:, None, :])
         for i in range(k):
             out = dict(active=host["active"][i])
             if "slot_channel" in host:
@@ -754,6 +817,35 @@ class Pipeline:
                 cols = idx[valid]
                 audio[:, cols] = host["audio"][i][:, valid]
                 self._dense_dirty = cols
+                if self.cfg.suppress_fade_tails:
+                    A = self.A
+                    if self._tail_startup:
+                        # block 0: every unshipped channel carries the
+                        # reference-faithful 0.5-initialized waveout tail
+                        # (config.cpp:315) in its first AGC_EXTRA samples
+                        mask = np.ones(self.C, bool)
+                        mask[cols] = False
+                        synth = np.flatnonzero(mask)
+                        audio[:A, synth] = np.float32(0.5)
+                        self._tail_startup = False
+                    else:
+                        synth = np.flatnonzero(self._tail_pending)
+                        if len(synth):
+                            synth = synth[~np.isin(synth, cols, assume_unique=False)]
+                        if len(synth):
+                            # AM squelch-close fade continuation: v·0.94^(i+1)
+                            # from the channel's last shipped sample (the
+                            # device's exact kernel computes base·0.94^i from
+                            # the close point; restarting the geometric decay
+                            # from the block-boundary sample differs only in
+                            # f32 rounding — bounded by test_pipeline_chain's
+                            # suppression SNR assertion)
+                            audio[: A - 1, synth] = self._tail_pending[synth][None, :] * self._pow94[:, None]
+                    self._tail_pending[:] = 0.0
+                    if len(cols):
+                        self._tail_pending[cols] = audio[-1, cols]
+                    if len(synth):
+                        self._dense_dirty = np.concatenate([cols, synth])
                 out["audio"] = audio
                 dropped = int(host["n_active"][i]) - int(valid.sum())
                 out["gather_overflow"] = max(0, dropped)
@@ -854,6 +946,8 @@ class Pipeline:
                 flat[f"state.{name}"] = np.asarray(leaf)
         flat["pending"] = self._pending if self._pending is not None else np.zeros((0, 2), np.float32)
         flat["ship"] = np.str_(self._ship or "")
+        flat["tail_pending"] = self._tail_pending
+        flat["tail_startup"] = np.bool_(self._tail_startup)
         flat["bins"] = np.asarray(self.bins)
         flat["blocks_processed"] = np.int64(self.blocks_processed)
         np.savez(path, **flat)
@@ -887,6 +981,12 @@ class Pipeline:
             self.state = self._shard_chan(self.state)
             self.bins, self._taps = self._repl(self.bins), self._repl(self._taps)
         self.blocks_processed = int(d["blocks_processed"])
+        if "tail_pending" in d:
+            self._tail_pending = np.asarray(d["tail_pending"], np.float32).copy()
+            self._tail_startup = bool(d["tail_startup"])
+        else:  # older checkpoint: past startup, no fade pending
+            self._tail_pending[:] = 0.0
+            self._tail_startup = False
         self._primed = True
 
     # ------------------------------------------------------------ mutation
@@ -935,5 +1035,9 @@ class Pipeline:
         # chunks from the old tuning stay queued and drain in FIFO order
         self._pending = None
         self._primed = False
+        # re-priming re-creates the 0.5-initialized waveout tail -> the
+        # fade-suppression host state starts over
+        self._tail_pending[:] = 0.0
+        self._tail_startup = True
         # feature flags may have changed -> the k=1 flush program may differ
         self._flush_warmed = False

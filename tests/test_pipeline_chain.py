@@ -65,13 +65,14 @@ def _specs():
     ]
 
 
-def _run(raw, chunk, depth, step_bytes=512_000, slots=0, i16=False):
+def _run(raw, chunk, depth, step_bytes=512_000, slots=0, i16=False, fmt="", suppress=False, specs=None):
     cfg = PipelineConfig(
         sample_rate=FS, center_freq=CENTER, wave_rate=8000, sample_format="u8",
         fullscale=127.5, chunk_blocks=chunk, async_depth=depth,
         active_slots=slots, fetch_open_flags=True, fetch_audio_i16=i16,
+        fetch_audio_fmt=fmt, suppress_fade_tails=suppress,
     )
-    p = Pipeline(cfg, _specs())
+    p = Pipeline(cfg, specs if specs is not None else _specs())
 
     def snap(gen):
         # slot-mode audio/iq buffers are REUSED between blocks (Pipeline.feed
@@ -234,6 +235,115 @@ def test_i16_audio_fetch_composes_with_active_slots():
     for d, s in zip(dense, q):
         np.testing.assert_array_equal(d["active"], s["active"])
         assert np.abs(np.asarray(d["audio"]) - np.asarray(s["audio"])).max() <= 1.0 / 32767.0 + 1e-7
+
+
+def test_i8bf_audio_fetch_within_quantization_bound():
+    """fetch_audio_fmt='i8bf' ships block-float int8 (quarter the D2H bytes):
+    every sample within half an LSB of its channel's per-block scale; exact
+    zeros stay exact; gating/meta bit-identical."""
+    raw = _scene_u8()
+    _, dense = _run(raw, chunk=4, depth=1)
+    _, q = _run(raw, chunk=4, depth=1, fmt="i8bf")
+    assert len(dense) == len(q) >= 10
+    for d, s in zip(dense, q):
+        np.testing.assert_array_equal(d["active"], s["active"])
+        np.testing.assert_array_equal(d["open_flags"], s["open_flags"])
+        da, sa = np.asarray(d["audio"]), np.asarray(s["audio"])
+        step = np.abs(da).max(axis=0) / 127.0  # per-channel LSB
+        assert (np.abs(da - sa) <= step[None, :] * 0.5 + 1e-7).all()
+        # true silence stays exactly silent (sub-LSB values MAY round to 0)
+        assert not sa[da == 0.0].any()
+        for k in ("signal_level", "noise_level", "open_count"):
+            np.testing.assert_array_equal(np.asarray(d[k]), s[k])
+
+
+def test_i8bf_composes_with_active_slots():
+    raw = _scene_u8()
+    _, dense = _run(raw, chunk=2, depth=0)
+    _, q = _run(raw, chunk=2, depth=0, slots=3, fmt="i8bf")
+    for d, s in zip(dense, q):
+        np.testing.assert_array_equal(d["active"], s["active"])
+        da, sa = np.asarray(d["audio"]), np.asarray(s["audio"])
+        step = np.abs(da).max(axis=0) / 127.0
+        assert (np.abs(da - sa) <= step[None, :] * 0.5 + 1e-7).all()
+
+
+def _nfm_scene_u8(secs=2.0):
+    """AM carrier (+400 kHz) plus an NFM carrier (+300 kHz) that is gated off
+    at several points chosen so squelch closes land both mid-block and within
+    AGC_EXTRA samples of a block boundary (the real-audio spill case that
+    fade-tail suppression must NOT suppress)."""
+    from rtlsdr_airband_tpu.utils.siggen import nfm_carrier_iq
+
+    n = int(FS * secs)
+    tone = np.sin(2 * np.pi * 900.0 * np.arange(int(8000 * secs)) / 8000).astype(np.float64)
+    znfm = nfm_carrier_iq(FS, 300_000, n, audio=tone, audio_rate=8000)
+    # output block = 1000 samples @ 8 kHz = 320k input samples; gate the NFM
+    # carrier off at output offsets ~{690, 760, 790, 820} mod 1000 so the
+    # ~197-sample close delay scatters closes across the block boundary
+    g = np.ones(n, np.float32)
+    hop = FS // 8000
+    for off_blocks, off_out in ((3, 690), (6, 760), (9, 790), (12, 820)):
+        a = (off_blocks * 1000 + off_out) * hop
+        g[a : a + 150 * hop] = 0.0  # 150 output samples of dead air
+    zam = am_carrier_iq(FS, 400_000, n, carrier_ampl=0.35)
+    gam = np.ones(n, np.float32)
+    gam[int(n * 0.45) : int(n * 0.6)] = 0.0
+    z = znfm * g + zam * gam + complex_noise(n, 0.015, 2)
+    u8 = np.empty(2 * n, np.uint8)
+    u8[0::2] = np.clip(np.round(z.real * 127.5 + 127.5), 0, 255).astype(np.uint8)
+    u8[1::2] = np.clip(np.round(z.imag * 127.5 + 127.5), 0, 255).astype(np.uint8)
+    return u8.tobytes()
+
+
+def _nfm_specs():
+    return [
+        ChannelSpec(frequency=120_400_000, modulation="am"),
+        ChannelSpec(frequency=120_300_000, modulation="nfm"),
+    ]
+
+
+def test_fade_tail_suppression_matches_dense():
+    """suppress_fade_tails: closed-channel tails are synthesized on host
+    instead of shipped.  NFM audio must be BIT-exact (real-audio spill
+    blocks ship via the must-ship rule; the startup 0.5 prefix and silence
+    synthesize exactly); AM audio matches within f32 rounding of the
+    0.94^i fade restart; active/meta unchanged; and the block-0 startup
+    flood no longer competes for slots (zero overflows at slots=2)."""
+    raw = _nfm_scene_u8()
+    _, dense = _run(raw, chunk=4, depth=1, specs=_nfm_specs())
+    p, s = _run(raw, chunk=4, depth=1, slots=2, suppress=True, specs=_nfm_specs())
+    assert len(dense) == len(s) >= 14
+    nfm_closes = 0
+    for i, (d, sb) in enumerate(zip(dense, s)):
+        np.testing.assert_array_equal(d["active"], sb["active"])
+        da, sa = np.asarray(d["audio"]), np.asarray(sb["audio"])
+        # NFM channel: bit-exact everywhere
+        np.testing.assert_array_equal(da[:, 1], sa[:, 1], err_msg=f"block {i} NFM")
+        # AM channel: exact except fade-restart f32 rounding
+        np.testing.assert_allclose(da[:, 0], sa[:, 0], atol=2e-5, err_msg=f"block {i} AM")
+        assert sb["gather_overflow"] == 0
+        for k in ("signal_level", "noise_level", "open_count"):
+            np.testing.assert_array_equal(np.asarray(d[k]), sb[k])
+        nfm_closes = max(nfm_closes, int(np.asarray(d["open_count"])[1]))
+    assert p.gather_overflow_count == 0
+    # the scene must actually exercise open/close on the NFM channel
+    assert nfm_closes >= 3
+    # block 0: whole-population startup tails present in dense, synthesized
+    # (0.5 prefix, bit-exact already asserted above) rather than shipped
+    assert np.asarray(dense[0]["audio"])[:100].any()
+
+
+def test_suppression_overflow_counts_only_must_ship():
+    """With suppression on, fade-tail-only channels are not 'active' for
+    overflow accounting: a 1-slot run over the 3-channel scene counts only
+    genuinely open (or NFM-spill) channels beyond the slot cap."""
+    raw = _scene_u8()
+    _, dense = _run(raw, chunk=2, depth=0)
+    p, s = _run(raw, chunk=2, depth=0, slots=1, suppress=True)
+    for d, sb in zip(dense, s):
+        active = np.asarray(sb["active"])
+        assert sb["gather_overflow"] == max(0, int(active.sum()) - 1)
 
 
 def test_warm_precompile_does_not_change_results():
