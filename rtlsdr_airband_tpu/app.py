@@ -212,6 +212,8 @@ class DeviceRuntime:
     # python work scales O(open + idle-tick channels), not O(C) — at 8192
     # channels the naive loop costs ~70 ms of the 125 ms realtime budget
     fast_path: bool = False
+    economy: object | None = None  # FetchEconomy (cfg.fetch_economy = auto)
+    econ_overflow_seen: int = 0  # gather_overflow_count at last observation
     freq0: np.ndarray | None = None  # [C] frequency of freqs[0]
     idle_tick_idx: np.ndarray | None = None  # channels needing closed-squelch process()
     activity_accum: np.ndarray | None = None  # [C] open-block counter
@@ -413,6 +415,17 @@ class App:
             rt.iq_idle_set = frozenset(
                 ci for ci, c in enumerate(chrts) if any(fo.continuous for fo in c.outputs.iq_files)
             )
+        # adaptive fetch economy (reference analog: graceful, visible load
+        # management via overrun counters, rtl_airband.cpp:649-655; here the
+        # transport itself drifts so the knobs must move): only meaningful
+        # for gather-mode control-free devices
+        if self.cfg.fetch_economy == "auto" and pcfg.active_slots > 0 and rt.fast_path:
+            from .runtime.economy import FetchEconomy, default_ladder
+
+            ladder = default_ladder(pcfg.active_slots, pcfg.audio_fmt)
+            start = next(i for i, r in enumerate(ladder) if r.slots == pcfg.active_slots and r.fmt == pcfg.audio_fmt)
+            rt.economy = FetchEconomy(ladder, start, block_budget_ms=1000.0 * (self.wave_rate // 8) / self.wave_rate)
+            log(LOG_NOTICE, f"device {di}: fetch economy ladder {[str(r) for r in ladder]}, start {ladder[start]}")
         return rt
 
     # -------------------------------------------------------------------- run
@@ -448,6 +461,13 @@ class App:
         if n_down:
             log(LOG_WARNING, f"{n_down} device(s) failed to initialize - aborting")
             raise RuntimeError(f"{n_down} device(s) failed to initialize")
+        # pre-warm the fetch-economy neighbor rungs in the background so the
+        # first shift is a compile-cache hit, not a minutes-long stall
+        for rt in self.devices:
+            if rt.economy is not None:
+                for i in rt.economy.neighbors():
+                    n = rt.economy.rungs[i]
+                    rt.pipeline.warm_async(slots=n.slots, fmt=n.fmt)
         if self.cfg.multiple_demod_threads and len(self.devices) > 1:
             self._demod_workers = [DemodWorker(self, rt) for rt in self.devices]
             for w in self._demod_workers:
@@ -572,9 +592,30 @@ class App:
             self._handle_block(rt, out)
             n_blocks += 1
         if n_blocks:
+            elapsed_ms = (time.perf_counter() - t0) * 1e3
             # loop-latency debug trace (reference: rtl_airband.cpp:656-661)
-            debug_print(f"device {rt.stats.index}: {n_blocks} block(s) in {(time.perf_counter() - t0) * 1e3:.2f} ms")
+            debug_print(f"device {rt.stats.index}: {n_blocks} block(s) in {elapsed_ms:.2f} ms")
+            if rt.economy is not None:
+                self._observe_economy(rt, elapsed_ms / n_blocks)
         return True
+
+    def _observe_economy(self, rt: DeviceRuntime, ms_per_block: float) -> None:
+        econ = rt.economy
+        ov = int(rt.pipeline.gather_overflow_count)
+        delta = ov - rt.econ_overflow_seen
+        rt.econ_overflow_seen = ov
+        if econ.observe(ms_per_block, delta) is None:
+            return
+        r = econ.rung
+        log(
+            LOG_NOTICE,
+            f"device {rt.stats.index}: fetch economy shift -> {r} "
+            f"(ema {econ.ema_ms:.0f} ms/block, budget {econ.budget:.0f}, overflow +{delta})",
+        )
+        rt.pipeline.apply_rung(r.slots, r.fmt)
+        for i in econ.neighbors():
+            n = econ.rungs[i]
+            rt.pipeline.warm_async(slots=n.slots, fmt=n.fmt)
 
     def _service_once(self) -> bool:
         worked = False

@@ -681,7 +681,7 @@ class Pipeline:
         if k > 1:
             self._warm_flush_path()
 
-    def warm(self, k_blocks: int | None = None) -> None:
+    def warm(self, k_blocks: int | None = None, *, slots: int | None = None, fmt: str | None = None) -> None:
         """Synchronously compile the k-block chain program (and prime-step
         program) on zeroed inputs before streaming starts.  jit functions are
         pure, so nothing observable changes; pipelines with identical
@@ -697,6 +697,10 @@ class Pipeline:
         # the raw-ship branch and value-cast them to bytes (round-3 advisory)
         ship = self._ship or (self.cfg.sample_format if self.cfg.sample_format in ("u8", "s8", "s16") else "pairs")
         kwargs = self._chain_kwargs(ship)
+        if slots is not None:  # fetch-economy rung warm (see apply_rung)
+            kwargs["active_slots"] = max(0, int(slots))
+        if fmt is not None:
+            kwargs["audio_fmt"] = fmt
         mags = jnp.zeros((self.A, self.C), jnp.float32)
         state = init_demod_state(self.C, mags, jnp.zeros((self.A, self.C, 2), jnp.float32))
         if self.mesh is not None:
@@ -775,6 +779,32 @@ class Pipeline:
         self._warm_threads.append(t)
         _track_warm_thread(t)
         t.start()
+
+    def warm_async(self, k_blocks: int | None = None, *, slots: int | None = None, fmt: str | None = None) -> None:
+        """Background-compile an alternate (active_slots, audio_fmt) program
+        — the fetch-economy ladder's neighbor rungs (runtime/economy.py) —
+        without stalling streaming.  jit-pure; joined in close()."""
+        import threading
+
+        def work():
+            try:
+                self.warm(k_blocks, slots=slots, fmt=fmt)
+            except Exception:
+                pass  # best-effort; a real shift falls back to compiling
+
+        self._warm_threads = [t for t in self._warm_threads if t.is_alive()]
+        t = threading.Thread(target=work, daemon=False, name="rung-warm")
+        self._warm_threads.append(t)
+        _track_warm_thread(t)
+        t.start()
+
+    def apply_rung(self, slots: int, fmt: str) -> None:
+        """Fetch-economy shift: the NEXT dispatch uses the new active_slots /
+        audio_fmt (both are read from cfg per dispatch; in-flight chunks
+        drain with the program that produced them — _to_host unpacks by
+        content).  Cheap when the rung's program was pre-warmed."""
+        self.cfg.active_slots = int(slots)
+        self.cfg.fetch_audio_fmt = fmt
 
     def close(self) -> None:
         """Join background warm-compile threads.  Call at shutdown before
