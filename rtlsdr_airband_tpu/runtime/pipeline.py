@@ -493,15 +493,37 @@ class Pipeline:
         self.hop = cfg.hop
         self.N = cfg.fft_size
         self.window = jnp.asarray(blackman_harris_7(self.N))
+        # mesh mode: pad the device-side channel population up to a multiple
+        # of the FULL device count so the per-channel demod stage always
+        # shards over every device — without padding, an indivisible C (a
+        # prime population, a lone scan channel) makes pick_channel_axes
+        # fall back to replication and every device redundantly runs the
+        # whole demod scan.  Padded slots are inert AM channels at the
+        # device center (bin 0, ampfactor 0); they are appended AFTER the
+        # cost-grouped user channels and dropped in-jit by the _inv_perm
+        # gather, so nothing downstream (slot gather, meta, host) ever sees
+        # them — the mesh stays bit-identical to the single-device path.
+        self.C_dev = self.C
+        self._pad_specs: list[ChannelSpec] = []
+        if cfg.mesh is not None:
+            total = int(np.prod([cfg.mesh.shape[a] for a in ("time", "chan")]))
+            if self.C % total:
+                self.C_dev = -(-self.C // total) * total
+                self._pad_specs = [
+                    ChannelSpec(frequency=cfg.center_freq, modulation="am", ampfactor=0.0)
+                    for _ in range(self.C_dev - self.C)
+                ]
         # cost-class grouping: device slot j processes user channel
         # _order[j], so the Pallas kernel's per-tile event gates (CTCSS
         # Goertzel bank) fire on as few tiles as possible; all per-channel
-        # outputs are restored to user order in-jit via _inv_perm.
+        # outputs are restored to user order in-jit via _inv_perm (which,
+        # being a [C] gather over [C_dev] arrays, also drops the mesh pad).
         self._order = cost_group_permutation(specs)
         self._unperm = np.argsort(self._order).astype(np.int32)
-        self._inv_perm = None if np.array_equal(self._order, np.arange(self.C, dtype=np.int32)) else jnp.asarray(self._unperm)
+        identity = np.array_equal(self._order, np.arange(self.C, dtype=np.int32))
+        self._inv_perm = None if identity and not self._pad_specs else jnp.asarray(self._unperm)
         self.params = make_channel_params(
-            [specs[i] for i in self._order],
+            [specs[i] for i in self._order] + self._pad_specs,
             wave_rate=cfg.wave_rate, sample_rate=cfg.sample_rate, center_freq=cfg.center_freq, fft_size=cfg.fft_size,
         )
         # FFT bin per channel in USER order (reference: config.cpp:661-664);
@@ -510,7 +532,7 @@ class Pipeline:
             [bin_for_freq(s.frequency, cfg.center_freq, cfg.sample_rate, cfg.fft_size) for s in specs], np.int32
         )
         self.user_bins = np.array(self.base_bins)
-        self.bins = jnp.asarray(self.base_bins[self._order])
+        self.bins = jnp.asarray(self._device_bins(self.base_bins))
         self._taps = jax.jit(make_taps)(self.bins, self.window)
         self.any_ctcss = bool(any(s.ctcss > 0 for s in specs))
         self.any_afc = bool(any(s.afc for s in specs))
@@ -554,11 +576,11 @@ class Pipeline:
 
             from ..parallel.sharding import pick_channel_axes, shard_last
 
-            chan_axes = pick_channel_axes(self.mesh, self.C)
+            chan_axes = pick_channel_axes(self.mesh, self.C_dev)
             self._repl = lambda tree: jax.tree.map(
                 lambda l: jax.device_put(l, NamedSharding(self.mesh, P())), tree
             )
-            self._shard_chan = lambda tree: shard_last(self.mesh, tree, axis=chan_axes, channel_dim=self.C)
+            self._shard_chan = lambda tree: shard_last(self.mesh, tree, axis=chan_axes, channel_dim=self.C_dev)
             self._tail_sharding = NamedSharding(self.mesh, P())
             self._body_sharding_raw = NamedSharding(self.mesh, P(None, "time"))
             self._body_sharding_pairs = NamedSharding(self.mesh, P(None, "time", None))
@@ -566,6 +588,13 @@ class Pipeline:
             self.window = self._repl(self.window)
             self.bins = self._repl(self.bins)
             self._taps = self._repl(self._taps)
+
+    def _device_bins(self, user_bins: np.ndarray) -> np.ndarray:
+        """User-order bins -> device order, with mesh-pad slots on bin 0."""
+        dev = user_bins[self._order]
+        if self._pad_specs:
+            dev = np.concatenate([dev, np.zeros(len(self._pad_specs), np.int32)])
+        return dev
 
     # ----------------------------------------------------------------- host
 
@@ -701,8 +730,8 @@ class Pipeline:
             kwargs["active_slots"] = max(0, int(slots))
         if fmt is not None:
             kwargs["audio_fmt"] = fmt
-        mags = jnp.zeros((self.A, self.C), jnp.float32)
-        state = init_demod_state(self.C, mags, jnp.zeros((self.A, self.C, 2), jnp.float32))
+        mags = jnp.zeros((self.A, self.C_dev), jnp.float32)
+        state = init_demod_state(self.C_dev, mags, jnp.zeros((self.A, self.C_dev, 2), jnp.float32))
         if self.mesh is not None:
             state = self._shard_chan(state)
             body, halo = self._block_need, self.N - self.hop
@@ -931,7 +960,7 @@ class Pipeline:
                 jnp.asarray(prime), self.bins, self.window,
                 hop=self.hop, fft_size=self.N, n_frames=self.A, use_fft=self.cfg.channelizer == "fft",
             )
-            self.state = init_demod_state(self.C, mags, iqs)
+            self.state = init_demod_state(self.C_dev, mags, iqs)
             if self.mesh is not None:
                 self.state = self._shard_chan(self.state)
             self._pending_consume(self.A * self.hop)
@@ -1026,7 +1055,7 @@ class Pipeline:
         order).  The DFT taps are re-derived by one tiny jitted call (bins
         change at 200 ms/2 s control cadence, not per block)."""
         self.user_bins = np.asarray(bins, np.int32).copy()
-        self.bins = jnp.asarray(self.user_bins[self._order])
+        self.bins = jnp.asarray(self._device_bins(self.user_bins))
         self._taps = jax.jit(make_taps)(self.bins, self.window)
         if self.mesh is not None:
             self.bins, self._taps = self._repl(self.bins), self._repl(self._taps)
@@ -1047,16 +1076,17 @@ class Pipeline:
         # the carried state is dropped and re-primed below)
         self._order = cost_group_permutation(specs)
         self._unperm = np.argsort(self._order).astype(np.int32)
-        self._inv_perm = None if np.array_equal(self._order, np.arange(self.C, dtype=np.int32)) else jnp.asarray(self._unperm)
+        identity = np.array_equal(self._order, np.arange(self.C, dtype=np.int32))
+        self._inv_perm = None if identity and not self._pad_specs else jnp.asarray(self._unperm)
         self.params = make_channel_params(
-            [specs[i] for i in self._order],
+            [specs[i] for i in self._order] + self._pad_specs,
             wave_rate=cfg.wave_rate, sample_rate=cfg.sample_rate, center_freq=cfg.center_freq, fft_size=cfg.fft_size,
         )
         self.base_bins = np.array(
             [bin_for_freq(s.frequency, cfg.center_freq, cfg.sample_rate, cfg.fft_size) for s in specs], np.int32
         )
         self.user_bins = np.array(self.base_bins)
-        self.bins = jnp.asarray(self.base_bins[self._order])
+        self.bins = jnp.asarray(self._device_bins(self.base_bins))
         self._taps = jax.jit(make_taps)(self.bins, self.window)
         if self.mesh is not None:
             self.params = self._shard_chan(self.params)
