@@ -23,6 +23,11 @@ Policy (hysteresis + cooldown, all tunable):
  - sustained gather overflow (>= ``overflow_obs`` consecutive observations
    with drops) -> jump to the cheapest rung with MORE slots than the
    current one (more audio kept per block at fewer bytes per channel).
+   The landed rung's slot count becomes a FLOOR: the slow rule may only
+   move to rungs that keep at least that many slots (otherwise overflow
+   and slowness alternate and the controller thrashes between rungs).
+   The floor clears once the device has been both clean and comfortable
+   for a full clean streak.
  - EMA < ``low_water`` x budget and no overflow for ``clean_obs``
    observations -> recover toward the CONFIGURED rung (``home``): step up
    when below it; step back down (after a much longer clean streak) when an
@@ -105,6 +110,7 @@ class FetchEconomy:
         self._overflow_streak = 0
         self._slow_streak = 0
         self._clean_streak = 0
+        self._slots_floor = 0
         self.shift_count = 0
 
     @property
@@ -124,22 +130,30 @@ class FetchEconomy:
             self._overflow_streak = 0
             self._clean_streak += 1
         self._slow_streak = self._slow_streak + 1 if self.ema_ms > self.high else 0
+        if self._clean_streak >= self.clean_obs and self.ema_ms < self.low:
+            self._slots_floor = 0  # clean AND comfortable: the burst is over
         if self._since_shift < self.cooldown_obs:
             return None
 
         cur = self.rungs[self.idx]
         # 1) sustained slot overflow: audio is being shed RIGHT NOW — find
-        #    the cheapest rung that keeps more channels per block
+        #    the cheapest rung that keeps more channels per block, and pin
+        #    that slot count as a floor against the slow rule
         if self._overflow_streak >= self.overflow_obs:
             cands = [i for i, r in enumerate(self.rungs) if r.slots > cur.slots]
             if cands:
-                return self._shift(min(cands, key=lambda i: self.rungs[i].cost()))
+                tgt = min(cands, key=lambda i: self.rungs[i].cost())
+                self._slots_floor = self.rungs[tgt].slots
+                return self._shift(tgt)
             self._overflow_streak = 0  # already at max slots; nothing to do
             return None
         # 2) persistently behind the block budget: cheaper bytes (a single
-        #    bad chunk never shifts — the EMA must stay high for slow_obs)
-        if self._slow_streak >= self.slow_obs and self.idx + 1 < len(self.rungs):
-            return self._shift(self.idx + 1)
+        #    bad chunk never shifts — the EMA must stay high for slow_obs);
+        #    never shed below the overflow floor
+        if self._slow_streak >= self.slow_obs:
+            cands = [j for j in range(self.idx + 1, len(self.rungs)) if self.rungs[j].slots >= self._slots_floor]
+            if cands:
+                return self._shift(cands[0])
         # 3) comfortable and clean for a while: recover toward home — never
         #    past the configured operating point
         if self.ema_ms < self.low and self._clean_streak >= self.clean_obs:

@@ -77,6 +77,25 @@ def test_overflow_at_max_slots_is_a_no_op():
         assert econ.observe(60.0, 3) is None  # nowhere roomier to go
 
 
+def test_no_thrash_when_both_overflowing_and_slow():
+    """The hard case (seen live on the CPU smoke of bench_app): the device is
+    both over budget AND overflowing its slots.  The overflow jump pins a
+    slots floor, so the slow rule may not shed back below it — the
+    controller settles on the roomier rung instead of oscillating."""
+    l = default_ladder(2, "i16")  # [4/i8bf, 2/i16, 2/i8bf, 1/i8bf]
+    econ = FetchEconomy(l, start=1)
+    shifts = []
+    for i in range(60):
+        # overflowing at 2 slots, never overflowing at 4; always slow
+        over = 1 if econ.rung.slots < 4 else 0
+        s = econ.observe(300.0, over)
+        if s is not None:
+            shifts.append(s)
+    assert econ.rung == Rung(4, "i8bf")
+    # one overflow jump; no subsequent shed below the floor
+    assert len(shifts) == 1, shifts
+
+
 def test_single_blip_does_not_shift():
     econ = FetchEconomy(default_ladder(192, "i16"), start=1)
     for _ in range(10):
