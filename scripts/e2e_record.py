@@ -31,8 +31,13 @@ BOUNDS = {
     "nfm": (80.0, 0.999),
     "am_bw": (80.0, 0.999),
     # the round-3/4 tightened CTCSS claim: on the TPU platform the Goertzel
-    # bank matches the binary's tone decisions exactly
+    # bank matches the binary's tone decisions exactly (gating == 1.0)
     "nfm_ctcss": (80.0, 1.0),
+    # the strong-tone channel's steady-state SNR vs the binary is 64.6 dB on
+    # TPU (E2E_GOLDEN.md round-4 isolation table — reproduced to 0.01 dB in
+    # round 5): the 2x-amplitude 88.5 Hz tone + notch leave a larger share
+    # of the compared energy in the notch transient; gating is still exact
+    "nfm_ctcss_strong": (60.0, 1.0),
 }
 
 

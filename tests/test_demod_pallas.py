@@ -119,6 +119,39 @@ def test_pallas_nondivisible_channel_count():
     _tree_assert_close(st_x, st_p, 1e-4)
 
 
+def test_pair_parity_bit_identical(monkeypatch):
+    """Two-tile co-scheduling (pair=True — the round-5 latency-floor
+    experiment) is pure schedule/grid restructuring over disjoint slices:
+    audio, flags and ALL state must be bit-identical to pair=False."""
+    monkeypatch.setenv("RTLSDR_DEMOD_SUBL", "8")  # tile = 1024 -> G=2 at C=2048
+    C, W, A = 2048, 64, AGC_EXTRA
+    specs = [
+        ChannelSpec(
+            frequency=CENTER + 1000 * (i - C // 2),
+            modulation="nfm" if i % 3 == 0 else "am",
+            ctcss=100.0 if i % 7 == 0 else 0.0,
+            bandwidth=6000.0 if i % 5 == 0 else 0.0,
+            notch=1000.0 if i % 11 == 0 else 0.0,
+        )
+        for i in range(C)
+    ]
+    params = make_channel_params(specs, wave_rate=8000, sample_rate=FS, center_freq=CENTER, fft_size=N)
+    rng = np.random.default_rng(7)
+    state = init_demod_state(
+        C,
+        jnp.asarray(np.abs(rng.normal(0, 1.0, (A, C))).astype(np.float32)),
+        jnp.asarray(rng.normal(0, 0.5, (A, C, 2)).astype(np.float32)),
+    )
+    mags = jnp.asarray(np.abs(rng.normal(0, 1.0, (W, C)) + 2.0).astype(np.float32))
+    iqs = jnp.asarray(rng.normal(0, 0.5, (W, C, 2)).astype(np.float32))
+    st_a, a_a, iq_a, o_a = demod_block_pallas(params, state, mags, iqs, interpret=True, pair=False)
+    st_b, a_b, iq_b, o_b = demod_block_pallas(params, state, mags, iqs, interpret=True, pair=True)
+    np.testing.assert_array_equal(np.asarray(a_a), np.asarray(a_b))
+    np.testing.assert_array_equal(np.asarray(iq_a), np.asarray(iq_b))
+    np.testing.assert_array_equal(np.asarray(o_a), np.asarray(o_b))
+    _tree_assert_close(st_a, st_b, 0.0)
+
+
 def test_unroll_parity_bit_identical():
     """Manual sample-loop unrolling (latency-floor experiment) is pure loop
     restructuring: unroll in {1, 2, 4} must produce bit-identical audio,
