@@ -340,6 +340,7 @@ class App:
             fetch_audio_i16=self.cfg.fetch_audio_i16,
             fetch_audio_fmt=self.cfg.fetch_audio_fmt,
             suppress_fade_tails=self.cfg.suppress_fade_tails,
+            fetch_meta_per_chunk=self.cfg.fetch_meta_per_chunk,
             mesh=self.mesh,
             demod_backend=self.cfg.demod_backend,
         )

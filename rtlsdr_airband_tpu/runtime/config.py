@@ -199,6 +199,10 @@ class GlobalConfig:
     # fade / 0.5 startup tail) — the host synthesizes it instead.  Frees
     # gather slots and removes the block-0 startup flood.
     suppress_fade_tails: bool = False
+    # TPU fetch knob: ship per-channel stats gauges/counters once per
+    # dispatch chunk instead of per block (saves 8 rows x C x 4 B per block;
+    # stats/TUI consume them at a 15 s cadence anyway).
+    fetch_meta_per_chunk: bool = False
     # TPU fetch knob: adaptive fetch economy — 'off' or a ladder preset
     # ('auto'): the app pre-warms neighbor (slots, fmt) programs and shifts
     # between them as measured fetch throughput / slot overflow drifts
@@ -463,6 +467,7 @@ def parse_config(doc: dict) -> GlobalConfig:
         fetch_audio_i16=bool(doc.get("fetch_audio_i16", False)),
         fetch_audio_fmt=str(doc.get("fetch_audio_fmt", "")),
         suppress_fade_tails=bool(doc.get("suppress_fade_tails", False)),
+        fetch_meta_per_chunk=bool(doc.get("fetch_meta_per_chunk", False)),
         fetch_economy=str(doc.get("fetch_economy", "off")),
         mesh_devices=max(0, int(doc.get("mesh_devices", 0))),
         mesh_time_shards=max(0, int(doc.get("mesh_time_shards", 0))),

@@ -47,6 +47,14 @@ def channelize_block(x, bins, window, *, hop, fft_size, n_frames, use_fft=False)
     return chan(x, bins, window, hop=hop, fft_size=fft_size, n_frames=n_frames)
 
 
+def _state_meta(params: ChannelParams, state: DemodState):
+    """(squelch_level, sig_outside) snapshots from a carried state (device
+    channel order)."""
+    squelch_level = _levels(params, state.noise_floor, state.recent_open_count)
+    sig_outside = state.using_post_filter & (state.pre_capped >= squelch_level) & (state.post_capped < state.sq_buffer[0])
+    return squelch_level, sig_outside
+
+
 def default_demod_backend() -> str:
     """'pallas' on real TPU hardware, 'xla' elsewhere (CPU tests, dry runs)."""
     try:
@@ -173,8 +181,7 @@ def _pipeline_block_impl(
     #  - squelch_level: Squelch::squelch_level() (squelch.cpp:164-177)
     #  - sig_outside: Squelch::signal_outside_filter() (squelch.cpp:152-154)
     #    = using_post_filter && has_pre_filter_signal && !has_post_filter_signal
-    squelch_level = _levels(params, state.noise_floor, state.recent_open_count)
-    sig_outside = state.using_post_filter & (state.pre_capped >= squelch_level) & (state.post_capped < state.sq_buffer[0])
+    squelch_level, sig_outside = _state_meta(params, state)
     perm = (lambda a: a[inv_perm]) if inv_perm is not None else (lambda a: a)
     if inv_perm is not None:
         audio = audio[:, inv_perm]
@@ -208,7 +215,7 @@ META_F = ("signal_level", "noise_level", "squelch_level")  # f32 [C] gauges
 META_I = ("open_count", "flappy_count", "ctcss_found", "ctcss_not_found")  # i32 [C] counters
 
 
-@partial(jax.jit, static_argnames=("k_blocks", "active_slots", "with_flags", "audio_fmt", "suppress_fade_tails") + _PIPELINE_STATICS)
+@partial(jax.jit, static_argnames=("k_blocks", "active_slots", "with_flags", "audio_fmt", "suppress_fade_tails", "meta_per_chunk") + _PIPELINE_STATICS)
 def pipeline_chain(
     x: jax.Array,  # flat raw [(2·)L_total] or pairs [L_total, 2] covering k_blocks overlapping blocks
     bins: jax.Array,
@@ -236,6 +243,7 @@ def pipeline_chain(
     pallas_interpret: bool = False,
     audio_fmt: str = "f32",
     suppress_fade_tails: bool = False,
+    meta_per_chunk: bool = False,
 ):
     """Chain ``k_blocks`` streaming blocks in ONE dispatch (lax.scan threading
     the demod state), amortizing the per-call tunnel RTT — the production
@@ -325,12 +333,10 @@ def pipeline_chain(
                 out["iq_out"] = jax.lax.with_sharding_constraint(
                     out["iq_out"], NamedSharding(mesh, P(None, cspec, None))
                 )
-        packed = dict(
-            audio=out["audio"],
-            active=out["active"],
-            meta_f=jnp.stack([out[k_] for k_ in META_F]),
-            meta_i=jnp.stack([out[k_].astype(jnp.int32) for k_ in META_I] + [out["sig_outside"].astype(jnp.int32)]),
-        )
+        packed = dict(audio=out["audio"], active=out["active"])
+        if not meta_per_chunk:
+            packed["meta_f"] = jnp.stack([out[k_] for k_ in META_F])
+            packed["meta_i"] = jnp.stack([out[k_].astype(jnp.int32) for k_ in META_I] + [out["sig_outside"].astype(jnp.int32)])
         if with_flags:
             packed["open_flags"] = out["open_flags"]
         if active_slots:
@@ -402,8 +408,32 @@ def pipeline_chain(
         return st, packed
 
     if mesh is not None:
-        return jax.lax.scan(body, state, x)  # x = (bodies [K, ...], tails [K, halo, 2])
-    return jax.lax.scan(body, state, jnp.arange(k_blocks))
+        final_st, packed = jax.lax.scan(body, state, x)  # x = (bodies [K, ...], tails [K, halo, 2])
+    else:
+        final_st, packed = jax.lax.scan(body, state, jnp.arange(k_blocks))
+    if meta_per_chunk:
+        # stats/TUI consume per-channel gauges/counters at a 15 s cadence
+        # (reference: output.cpp:833-869) — fetching them per 125 ms block
+        # is pure transfer waste at large C (8 rows x C x 4 B/block).  Ship
+        # ONE chunk-end snapshot derived from the final carried state; the
+        # per-block `active` flags (what drives sinks/activity counting)
+        # still ship per block.
+        sq, so = _state_meta(params, final_st)
+        perm = (lambda a: a[inv_perm]) if inv_perm is not None else (lambda a: a)
+        meta_f = jnp.stack([perm(final_st.pre_full), perm(final_st.noise_floor), perm(sq)])
+        meta_i = jnp.stack([
+            perm(final_st.open_count), perm(final_st.flappy_count),
+            perm(final_st.slow.found), perm(final_st.slow.not_found),
+            perm(so).astype(jnp.int32),
+        ]).astype(jnp.int32)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            repl = lambda a: jax.lax.with_sharding_constraint(a, NamedSharding(mesh, P()))
+            meta_f, meta_i = repl(meta_f), repl(meta_i)
+        packed["meta_f"] = meta_f
+        packed["meta_i"] = meta_i
+    return final_st, packed
 
 
 _WARM_THREADS: list = []  # all live flush-warm threads (pruned on track)
@@ -461,6 +491,7 @@ class PipelineConfig:
     fetch_audio_i16: bool = False  # legacy alias for fetch_audio_fmt='i16'
     fetch_audio_fmt: str = ""  # '' | 'f32' | 'i16' | 'i8bf' (see pipeline_chain)
     suppress_fade_tails: bool = False  # host-synthesize closed-channel tails
+    fetch_meta_per_chunk: bool = False  # one meta snapshot per chunk, not per block
     # multi-chip (reference analog: multiple_demod_threads device-data
     # parallelism, rtl_airband.cpp:1052-1090 — here one jit program spans a
     # ('time', 'chan') device mesh instead):
@@ -667,6 +698,7 @@ class Pipeline:
             with_flags=bool(self.cfg.fetch_open_flags),
             audio_fmt=self.cfg.audio_fmt,
             suppress_fade_tails=bool(self.cfg.suppress_fade_tails) and int(self.cfg.active_slots) > 0,
+            meta_per_chunk=bool(self.cfg.fetch_meta_per_chunk),
             demod_backend=self.cfg.demod_backend,
             mesh=self.mesh,
             pallas_interpret=bool(self.cfg.pallas_interpret),
@@ -924,11 +956,16 @@ class Pipeline:
                     out["iq_out"] = host["iq_out"][i]
             if "open_flags" in host:
                 out["open_flags"] = host["open_flags"][i]
+            # meta is [K, rows, C] per block, or [rows, C] once per chunk
+            # (cfg.fetch_meta_per_chunk): chunk-end values stand in for every
+            # block of the chunk — indistinguishable at the 15 s stats cadence
+            mf = host["meta_f"] if host["meta_f"].ndim == 2 else host["meta_f"][i]
+            mi = host["meta_i"] if host["meta_i"].ndim == 2 else host["meta_i"][i]
             for j, name in enumerate(META_F):
-                out[name] = host["meta_f"][i, j]
+                out[name] = mf[j]
             for j, name in enumerate(META_I):
-                out[name] = host["meta_i"][i, j]
-            out["sig_outside"] = host["meta_i"][i, len(META_I)].astype(bool)
+                out[name] = mi[j]
+            out["sig_outside"] = mi[len(META_I)].astype(bool)
             if "spectrum_power" in host:
                 out["spectrum_power"] = host["spectrum_power"][i]
             yield out

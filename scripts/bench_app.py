@@ -88,6 +88,7 @@ def main() -> int:
     i16 = os.environ.get("BENCH_APP_I16", "0") == "1"
     fmt = os.environ.get("BENCH_APP_FMT", "")  # '' | f32 | i16 | i8bf
     suppress = os.environ.get("BENCH_APP_SUPPRESS", "0") == "1"
+    metapc = os.environ.get("BENCH_APP_METAPC", "0") == "1"
     paced = os.environ.get("BENCH_APP_PACED", "0") == "1"
     econ = os.environ.get("BENCH_APP_ECON", "0") == "1"
     # BENCH_APP_MOT=1: per-device sink worker threads (multiple_output_threads)
@@ -177,6 +178,7 @@ def main() -> int:
         + ("fetch_audio_i16 = true;\n" if i16 else "")
         + (f'fetch_audio_fmt = "{fmt}";\n' if fmt else "")
         + ("suppress_fade_tails = true;\n" if suppress else "")
+        + ("fetch_meta_per_chunk = true;\n" if metapc else "")
         + ('fetch_economy = "auto";\n' if econ else "")
         + ("multiple_output_threads = true;\n" if mot else "")
         + ("multiple_demod_threads = true;\n" if n_devices > 1 else "")
@@ -297,6 +299,7 @@ def main() -> int:
             ),
             "audio_fmt": fmt or ("i16" if i16 else "f32"),
             "suppress_fade_tails": suppress,
+            "meta_per_chunk": metapc,
             "open_frac_requested": open_frac or None,
         },
     }

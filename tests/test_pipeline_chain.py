@@ -346,6 +346,31 @@ def test_suppression_overflow_counts_only_must_ship():
         assert sb["gather_overflow"] == max(0, int(active.sum()) - 1)
 
 
+def test_meta_per_chunk_matches_chunk_end_meta():
+    """fetch_meta_per_chunk ships one stats snapshot per dispatch chunk: the
+    audio/active stream is untouched, and every block of a chunk reports the
+    chunk-END meta (what the 15 s stats cadence would read anyway)."""
+    raw = _scene_u8()
+    _, dense = _run(raw, chunk=4, depth=1)
+    cfg = PipelineConfig(
+        sample_rate=FS, center_freq=CENTER, wave_rate=8000, sample_format="u8",
+        fullscale=127.5, chunk_blocks=4, async_depth=1, fetch_meta_per_chunk=True,
+    )
+    p = Pipeline(cfg, _specs())
+    outs = []
+    for i in range(0, len(raw), 512_000):
+        outs.extend(p.feed(raw[i : i + 512_000]))
+    outs.extend(p.flush())
+    assert len(outs) == len(dense) >= 10
+    for i, (d, s) in enumerate(zip(dense, outs)):
+        np.testing.assert_array_equal(np.asarray(d["audio"]), np.asarray(s["audio"]), err_msg=f"block {i}")
+        np.testing.assert_array_equal(d["active"], s["active"])
+        # chunk-end semantics: block i reports the meta of its chunk's last block
+        j = min((i // 4) * 4 + 3, len(dense) - 1)
+        for k in ("signal_level", "noise_level", "squelch_level", "open_count", "flappy_count"):
+            np.testing.assert_array_equal(np.asarray(dense[j][k]), np.asarray(s[k]), err_msg=f"block {i} {k}")
+
+
 def test_warm_precompile_does_not_change_results():
     """Pipeline.warm() compiles the chain on zeroed inputs before streaming
     (slow-compile backends); it must be observationally pure."""
