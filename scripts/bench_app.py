@@ -317,6 +317,13 @@ def main() -> int:
         result["detail"]["latency_ms_p50"] = round(float(_np.percentile(lat, 50)), 1)
         result["detail"]["latency_ms_p95"] = round(float(_np.percentile(lat, 95)), 1)
         result["detail"]["latency_ms_max"] = round(float(lat.max()), 1)
+        # a transport stall early in the run leaves a permanent backlog when
+        # per-block cost ~= the 125 ms budget (no catch-up headroom), which
+        # poisons whole-run percentiles; the last-third tail is the honest
+        # steady-state latency when it has converged
+        tail = lat[-max(8, len(lat) // 3) :]
+        result["detail"]["latency_ms_tail_p50"] = round(float(_np.percentile(tail, 50)), 1)
+        result["detail"]["latency_ms_tail_p95"] = round(float(_np.percentile(tail, 95)), 1)
     if econ:
         for rt in app.devices:
             if rt.economy is not None:
