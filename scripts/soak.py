@@ -109,10 +109,12 @@ def main() -> int:
         f'outputs: ( {{ type = "udp_stream"; dest_address = "127.0.0.1"; dest_port = {21000 + (i % 8000)}; }} ); }}'
         for i, f in enumerate(freqs)
     )
+    econ = os.environ.get("SOAK_ECON", "0") == "1"
     cfg_text = (
         f'fft_size = 512;\nwave_rate = {wave_rate};\nstats_filepath = "{stats_path}";\n'
         f'blocks_per_dispatch = {chunk};\nactive_fetch_slots = {slots};\n'
-        f'fetch_audio_fmt = "{fmt}";\nsuppress_fade_tails = true;\n'
+        f'fetch_audio_fmt = "{fmt}";\nsuppress_fade_tails = true;\nfetch_meta_per_chunk = true;\n'
+        + ('fetch_economy = "auto";\n' if econ else "")
         f'devices: ( {{ type = "file"; filepath = "{fifo}"; centerfreq = {center}; '
         f'sample_rate = {fs}; sample_format = "u8"; speedup_factor = 1.0; '
         f'channels: ( {chans} ); }} );\n'
