@@ -115,7 +115,7 @@ def main() -> int:
         f'blocks_per_dispatch = {chunk};\nactive_fetch_slots = {slots};\n'
         f'fetch_audio_fmt = "{fmt}";\nsuppress_fade_tails = true;\nfetch_meta_per_chunk = true;\n'
         + ('fetch_economy = "auto";\n' if econ else "")
-        f'devices: ( {{ type = "file"; filepath = "{fifo}"; centerfreq = {center}; '
+        + f'devices: ( {{ type = "file"; filepath = "{fifo}"; centerfreq = {center}; '
         f'sample_rate = {fs}; sample_format = "u8"; speedup_factor = 1.0; '
         f'channels: ( {chans} ); }} );\n'
     )
