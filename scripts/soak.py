@@ -143,13 +143,16 @@ def main() -> int:
     stats_mtimes = set()
 
     def sampler():
+        import jax
+
         while not app.do_exit:
             rss, thr, fds = proc_health()
             samples.append(
                 dict(t=round(time.perf_counter() - t0, 1), rss_mb=round(rss, 1), threads=thr, fds=fds,
                      blocks=blocks[0],
                      overflow=int(sum(rt.pipeline.gather_overflow_count for rt in app.devices)),
-                     ring_overflow=int(sum(rt.input.ring.overflow_count for rt in app.devices)))
+                     ring_overflow=int(sum(rt.input.ring.overflow_count for rt in app.devices)),
+                     live_arrays=len(jax.live_arrays()))
             )
             if os.path.exists(stats_path):
                 stats_mtimes.add(round(os.path.getmtime(stats_path)))
